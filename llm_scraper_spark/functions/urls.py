@@ -1,0 +1,128 @@
+"""URL canonicalization + hashing — vectorized (Arrow pandas UDFs).
+
+Replaces the reference's ad-hoc URL handling: ``href.startswith("/")``
+absolutization + set-dedup (extract_product_urls.py:114-132), urljoin /
+urlparse usage (scrapping_manager.py:94-97, llm_validation_playwright.py
+:54-56).  The reference never canonicalizes, so it can fetch the same
+logical page twice; we canonicalize *then* hash so the seen-set is exact.
+
+Canonical form (documented, deterministic):
+  - scheme + host lowercased; default ports stripped
+  - fragment dropped
+  - tracking params dropped (ref, qid, tag, utm_*) — the reference's
+    Amazon seed lists are full of ``ref=``/``qid=`` noise
+  - remaining query params sorted by key
+  - empty path -> "/"; trailing slash preserved otherwise
+  - relative hrefs starting "/" resolved against a base url
+
+Hash: first 8 bytes of sha1(canonical_url), masked to 63 bits (non-
+negative int64) — stable across Python/Spark/any engine, collision
+probability ~n²/2⁶⁴ (≈0.005 at 10^10 URLs per partition-pair check;
+the seen-set join keeps the full url alongside the hash so a collision
+can never drop a distinct URL: the anti-join key is the hash but
+equality is confirmed on url).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TRACKING_KEYS = ("ref", "qid", "tag")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_one(url: str, base: str | None = None) -> str | None:
+    """Canonicalize a single URL (pure; shared with the oracle)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    if base and url.startswith("/"):
+        # reference: extract_product_urls.py:114-118 (home_url + href)
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = ""
+    if parts.query:
+        kept = []
+        for kv in parts.query.split("&"):
+            if not kv:
+                continue
+            k = kv.split("=", 1)[0]
+            if k in _TRACKING_KEYS or k.startswith("utm_"):
+                continue
+            kept.append(kv)
+        query = "&".join(sorted(kept))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_hash_one(canonical_url: str) -> int:
+    """63-bit sha1 hash of the canonical URL (pure; shared with oracle)."""
+    d = hashlib.sha1(canonical_url.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def host_of(canonical_url: str) -> str:
+    return urlsplit(canonical_url).netloc
+
+
+# ---- vectorized (pandas) versions -------------------------------------
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
+    if bases is None:
+        return urls.map(lambda u: canonicalize_one(u) if u is not None else None)
+    return pd.Series(
+        [canonicalize_one(u, b) for u, b in zip(urls, bases)], index=urls.index
+    )
+
+
+def hash_series(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: url_hash_one(u) if u is not None else None).astype(
+        "Int64"
+    )
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: host_of(u) if u is not None else None)
+
+
+# ---- Spark column functions -------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_with_base_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    return canonicalize_series(urls, bases)
+
+
+@F.pandas_udf(T.LongType())
+def url_hash_udf(urls: pd.Series) -> pd.Series:
+    return hash_series(urls)
+
+
+def host_col(url_col):
+    """Host extraction stays JVM-side: parse_url is codegen'd."""
+    return F.lower(F.parse_url(url_col, F.lit("HOST")))

@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local mode here stands in for a multi-executor cluster; all knobs are
+chosen so the same code runs unchanged under ``spark-submit --py-files``
+on a real cluster (nothing depends on local mode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "llm-scraper-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE on: runtime coalescing + skew-join splitting (hot-host skew).
+    - Arrow on: every Python-side transform is an Arrow-batched pandas
+      UDF (input_hint forbids per-row Python).
+    - shuffle.partitions sized to cores (local) — on a real cluster this
+      is overridden per deployment; AQE coalesces the excess.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = str(cores)
+    n_cores = int(cores) if cores.isdigit() else 32
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_cores, 32)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
