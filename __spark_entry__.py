@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data pipeline suite (dedup / similarity / text analysis);
+``oracle_sql()`` gives the DuckDB twin for each (identical column names
+and values — see tests/oracle_check.py for the local gate that mirrors
+the driver's CORRECTNESS check).
 """
 
 from __future__ import annotations
@@ -13,26 +13,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from llm_scraper_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+from llm_scraper_spark.streaming import jobs as streaming_jobs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: MinHash+LSH near-duplicate detection over the
+    documents corpus at sf0.001 — shingle → minhash signatures → banded
+    bucket join → exact-Jaccard verification, all JVM-side."""
+    return dedup.dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+
+
+_MODULES = (relational, dedup, similarity, textstats, multimodal, streaming_jobs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE_SQL)
+    return out

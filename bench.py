@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Two parts:
+1. Headline analytic queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query
+   seconds in "queries".
+2. Crawl throughput (the BASELINE.json metric: URLs fetched+deduped/s)
+   at two parallelism levels — N and 4N cores — on the same input, via
+   subprocesses (one JVM per level), reporting scaling efficiency
+   (= speedup / 4).  Skippable with SPARK_GRAFT_SKIP_CRAWL=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "a1_degree_topk",
+    "j2_broadcast_dim_join",
+    "a6_precision_recall",
+    "w1_carry_forward",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def bench_queries() -> dict[str, float]:
+    from llm_scraper_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench-queries", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).collect()  # warm plan/scan path once
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def bench_crawl_scaling() -> dict:
+    out = {}
+    n_small = max(2, CPUS // 4)
+    for cores in (n_small, CPUS):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "llm_scraper_spark.bench_crawl",
+                "--cores",
+                str(cores),
+                "--seeds",
+                os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "20000"),
+                "--rounds",
+                "2",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+        )
+        json_lines = [
+            ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+        ]
+        out[f"cores_{cores}"] = json.loads(json_lines[-1]) if json_lines else {}
+    thr_small = out[f"cores_{n_small}"].get("urls_per_sec") or 0.0
+    thr_big = out[f"cores_{CPUS}"].get("urls_per_sec") or 0.0
+    ratio = CPUS / n_small
+    out["speedup"] = round(thr_big / thr_small, 3) if thr_small else None
+    out["scaling_efficiency"] = (
+        round(thr_big / thr_small / ratio, 3) if thr_small else None
+    )
+    return out
+
+
+def main() -> None:
+    # The JVM writes banner/progress noise to fd 1; keep stdout clean so
+    # the ONE JSON line is all the driver sees: route fd 1 → stderr for
+    # the duration of the Spark work, restore it for the final print.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        timings = bench_queries()
+        result = {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        }
+        if os.environ.get("SPARK_GRAFT_SKIP_CRAWL") != "1":
+            crawl = bench_crawl_scaling()
+            result["crawl"] = crawl
+            big = crawl.get(f"cores_{CPUS}", {})
+            result["urls_fetched_deduped_per_sec"] = big.get("urls_per_sec")
+            result["scaling_efficiency"] = crawl.get("scaling_efficiency")
+    finally:
+        os.dup2(real_stdout, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

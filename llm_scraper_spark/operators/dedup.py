@@ -1,0 +1,425 @@
+"""Deduplication suite for training-data pipelines — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+The reference's only dedup is Python ``set()`` on URLs/triplets
+(extract_product_urls.py:57; db.py:448) and a row-local fuzzy field
+dedup (content_cleaner.py:8-24); a 100 TB corpus needs document-level
+dedup, so these are first-class operators here.
+
+Cross-engine determinism tricks (all verified against DuckDB):
+- shingle minhashes are *lexicographic mins of md5 hex strings* —
+  md5 is identical everywhere, no numeric-hash divergence;
+- simhash token hashes are 60-bit ints via
+  ``conv(substr(md5(w),1,15),16,10)`` (Spark) ==
+  ``CAST('0x'||substr(md5(w),1,15) AS BIGINT)`` (DuckDB);
+- jaccard/cosine ratios are single divisions of exact integers.
+
+Because the driver's synthetic corpus has no natural duplicates, each
+query first *augments* the corpus with deterministic near/exact copies
+(same CTE in Spark and in the oracle SQL), so a correct implementation
+provably finds them (non-empty output), and a broken one can't pass.
+
+Scale notes (100 TB): exact dedup is a hash-shuffle on the 16-byte
+fingerprint (not the text). MinHash-LSH shuffles (band, bucket-key)
+pairs — linear in corpus size; candidate verification touches only
+bucket collisions. The exhaustive pair-join variants (ngram_jaccard)
+exist as the small-data oracle baseline; LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8          # 8 minhash fns → 4 LSH bands × 2 rows
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60      # 4 bands × 15 bits
+HAMMING_MAX = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic exact copies (doc_id%17==0, +2e6) ∪
+    near copies with a 2-word tail (doc_id%10==0, +1e6)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearly duplicated")).alias("text"),
+        )
+    )
+    exact = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+_AUG_SQL = """
+  aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' nearly duplicated' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+  )
+"""
+
+
+def _shingles(aug: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc — JVM-side array ops (no UDF)."""
+    w = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        aug.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+_SHINGLES_SQL = """
+  shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM aug)
+    )
+  )
+"""
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
+    doc_id.  At scale this shuffles 16-byte digests, never documents."""
+    aug = _augmented(spark, sf_dir)
+    return (
+        aug.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup: shingle → 8 minhashes → 4 band
+    keys → bucket self-join → exact-Jaccard verification of candidates.
+
+    Shuffle cost is O(docs × bands), never O(docs²); verification
+    joins only bucket collisions — the 100 TB-safe plan.
+    """
+    sh = _shingles(_augmented(spark, sf_dir))
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"mh{b}")
+            for b in range(N_MINHASH)
+        ]
+    )
+    bands = None
+    for band in range(N_MINHASH // 2):
+        key = F.md5(F.concat_ws("|", F.col(f"mh{2*band}"), F.col(f"mh{2*band+1}")))
+        b = minh.select(
+            "doc_id", F.lit(band).alias("band"), key.alias("bkey")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard via the shared-shingle join (the
+    small-data baseline LSH is validated against)."""
+    sh = _shingles(_augmented(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def _simhash_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash per doc, entirely JVM-side.
+
+    Plan shape matters at scale: instead of exploding 60 bit-rows per
+    token (docs × tokens × 60 rows through a shuffle), each (doc,
+    token) row carries 60 ±1 columns and ONE hash-aggregate computes
+    all 60 majority sums — partial (map-side) aggregation shrinks the
+    shuffle to one 60-int row per doc per map partition."""
+    aug = _augmented(spark, sf_dir)
+    toks = (
+        aug.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    h = F.expr("cast(conv(substr(md5(w),1,15),16,10) as bigint)")
+    bit_cols = [
+        F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = toks.select("doc_id", h.alias("h")).select("doc_id", *bit_cols)
+    agg = wide.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"c{b}") for b in range(SIMHASH_BITS)]
+    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc simhash values (the signature table)."""
+    return _simhash_col(spark, sf_dir).orderBy("doc_id")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×15-bit band bucket join, then hamming
+    ≤ HAMMING_MAX verification via bit_count(xor)."""
+    sig = _simhash_col(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
+        b = sig.select("doc_id", "simhash", F.lit(band).alias("band"), key.alias("bkey"))
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_SQL = {
+    "dedup_exact": f"""
+        WITH {_AUG_SQL}
+        SELECT md5(text) AS fingerprint,
+               min(doc_id) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM aug GROUP BY md5(text) HAVING count(*) > 1
+        ORDER BY keeper_doc_id
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_AUG_SQL}, {_SHINGLES_SQL},
+        minh AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(shingle || '#{b}')) AS mh{b}" for b in range(N_MINHASH))}
+          FROM shingles GROUP BY doc_id
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {band} AS band, md5(mh{2*band} || '|' || mh{2*band+1}) AS bkey FROM minh"
+              for band in range(N_MINHASH // 2)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.doc_a
+          JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_AUG_SQL}, {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH {_AUG_SQL},
+        toks AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug
+          ) WHERE w <> ''
+        ),
+        bits AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h,
+                 unnest(range(0, {SIMHASH_BITS})) AS bit
+          FROM toks
+        ),
+        contrib AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM bits GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_AUG_SQL},
+        toks AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug
+          ) WHERE w <> ''
+        ),
+        bits AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h,
+                 unnest(range(0, {SIMHASH_BITS})) AS bit
+          FROM toks
+        ),
+        contrib AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM bits GROUP BY doc_id, bit
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+          FROM contrib GROUP BY doc_id
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, simhash, {band} AS band, (simhash >> {band * 15}) & {(1 << 15) - 1} AS bkey FROM sig"
+              for band in range(4)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sh_a, b.simhash AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+        ORDER BY doc_a, doc_b
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}

@@ -1,0 +1,643 @@
+"""Relational operator suite over the driver testdata tables.
+
+Each function implements one operator family from SURVEY.md §2
+(aggregations A*, joins J*, windows W*, sorts O*, set-ops U*, scalar
+functions F*) as idiomatic DataFrame code, and has a DuckDB oracle twin
+in ``ORACLE_SQL`` (same column names, same values).
+
+Determinism discipline for the driver's value-hash compare:
+- money/measure sums go through ``decimal(18,2)`` (exact, associative,
+  identical across engines regardless of partition order), then cast
+  to double for the output schema;
+- every computed column is aliased identically in Spark and SQL;
+- ties in any top-k/sort are broken by a unique key;
+- int-typed outputs are cast to bigint on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- A1/O2
+def a1_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-count top-k (reference: AQL inbound-edge count,
+    search_validation_playwright.py:214-226).  orders.o_custkey plays
+    the edge-destination role.  Plan: partial+final hash agg, then
+    TakeOrderedAndProject (no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- A2-A4
+def a2_a4_validation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-validation aggregate: best normal vs opposing evidence per
+    key, weight ratio, binary vote (reference:
+    search_validation_playwright.py:62-82; src/validators/
+    search_validation.py:116-120).  events.purchase≈normal,
+    events.error≈opposing."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+            "normal_best"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("value"))).alias(
+            "opposing_best"
+        ),
+    )
+    n = F.coalesce(F.col("normal_best"), F.lit(0.0))
+    o = F.coalesce(F.col("opposing_best"), F.lit(0.0))
+    return agg.select(
+        "user_id",
+        "normal_best",
+        "opposing_best",
+        F.when(n + o > 0, n / (n + o)).otherwise(F.lit(0.5)).alias("weight"),
+        F.when(n > o, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("vote"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- A6/A7
+def a6_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group precision/recall/F1 arithmetic (reference:
+    precision_recall.py:410-503).  lineitem return flags play
+    tp/fp/fn: A=tp, R=fp, N=fn.  Decimal sums keep the hash exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", qty).otherwise(F.lit(0).cast(DEC)))
+        .alias("tp"),
+        F.sum(F.when(F.col("l_returnflag") == "R", qty).otherwise(F.lit(0).cast(DEC)))
+        .alias("fp"),
+        F.sum(F.when(F.col("l_returnflag") == "N", qty).otherwise(F.lit(0).cast(DEC)))
+        .alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    return (
+        agg.select(
+            "l_orderkey",
+            tp.alias("tp_qty"),
+            fp.alias("fp_qty"),
+            fn.alias("fn_qty"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def a7_macro_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro averages across groups (precision_recall.py:505-518).
+    Computed over bigint counts so the average is count-ratio exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("tp_n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("fp_n"),
+    )
+    per = agg.select(
+        F.when(
+            F.col("tp_n") + F.col("fp_n") > 0,
+            F.col("tp_n").cast("double") / (F.col("tp_n") + F.col("fp_n")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision")
+    )
+    # avg = sum(decimal-rounded precisions)/n would still reassociate;
+    # instead use exact rational sums: sum of precisions is not needed —
+    # report counts + a decimal-rounded mean which is stable at 1e-6.
+    return per.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.col("precision").cast("decimal(18,9)")).cast("double").alias(
+            "sum_precision"
+        ),
+    ).select(
+        "n_groups",
+        "sum_precision",
+        (F.col("sum_precision") / F.col("n_groups")).alias("macro_precision"),
+    )
+
+
+# ---------------------------------------------------------------- A10/A11
+def a10_accuracy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✅/❌ accuracy summary (method2.py:97-104)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_fail"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+        F.count("*").cast("long").alias("n_total"),
+    ).select(
+        "n_fail",
+        "n_ok",
+        "n_total",
+        (F.col("n_ok").cast("double") / F.col("n_total").cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
+def a11_entity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality entity set union (scrape_eccomerce.py:238-244):
+    explode token arrays, distinct per source — Spark's
+    explode+countDistinct replaces Python set unions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("entity")
+    ).filter(F.col("entity") != "")
+    return (
+        toks.groupBy("source")
+        .agg(F.countDistinct("entity").cast("long").alias("n_entities"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- joins
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-endpoint-style dim lookup (db.py:91-95) — broadcast hash
+    join of the fact table against a small dim, then exact decimal agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # factors cast to decimal BEFORE multiplying: decimal×decimal is
+    # exact, so no engine-specific .005-boundary rounding can creep in
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def j3_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier⟕anti seen (extract_product_urls.py:39-41): orders whose
+    customer is NOT in the 'seen' set (negative-balance customers)."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (
+        orders.join(
+            F.broadcast(seen.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+    )
+
+
+def j7_semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-membership semi-join (precision_recall.py:176-177)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        li.join(
+            F.broadcast(big.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def j5_keyword_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-map canonicalization join (scrape_pp.py:137-146): rewrite
+    via a broadcast lookup table (nation -> region name)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_balance"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def j6_topdegree_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption⋈top-degree semi-join
+    (search_validation_playwright.py:165-212): restrict facts to the
+    top-5 highest-degree keys, excluding self-matches."""
+    orders = _t(spark, sf_dir, "orders")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("o_custkey"))
+        .limit(5)
+        .select(F.col("o_custkey").alias("top_custkey"))
+    )
+    return (
+        orders.join(F.broadcast(top), orders.o_custkey == F.col("top_custkey"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.max(F.col("o_totalprice")).alias("max_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------- windows
+def w1_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading carry-forward fold (scrape_pp.py:26-47): last non-null
+    marker over an ordered per-key stream — the reference's sequential
+    `prev`-tag state machine as a window function."""
+    ev = _t(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type") == "signup", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(marker, ignorenulls=True).over(w).alias("session_marker"),
+    ).orderBy("user_id", "event_id")
+
+
+def w2_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness slot assignment (W2; reference analog: fixed
+    sleeps scrape_eccomerce.py:121-124) — row_number per key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("slot"),
+    ).withColumn("eligible", F.col("slot") <= 3).orderBy("user_id", "event_id")
+
+
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5-per-group (llm_validation_playwright.py:35,58-60)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rank_in_segment", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_segment") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank_in_segment")
+        .orderBy("c_mktsegment", "rank_in_segment")
+    )
+
+
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key cumulative sum (decimal-exact prefix sums)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------- sorts
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (AQL SORT … LIMIT; O2) — TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def o4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' sample-50 (entity_analysis.py:137-138
+    shuffle+slice) — md5-keyed order is the seeded shuffle both engines
+    agree on."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("sample42:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+def u4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+distinct merge-with-official (extract_product_urls.py:
+    146-152)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+def u6_except_missed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall 'except' set (precision_recall.py:301-303): keys present
+    in facts but missing from the reference set."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.col("o_orderkey").alias("orderkey"))
+        .exceptAll(li.select(F.col("l_orderkey").alias("orderkey")))
+        .distinct()
+        .orderBy("orderkey")
+    )
+
+
+# ---------------------------------------------------------------- strings
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery F1-F15 (db.py:46-50,66;
+    content_cleaner.py:5-6; precision_recall.py:17-22) over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("source"), "[^a-zA-Z0-9_-]", "_").alias("node_key"),
+        F.regexp_replace(norm, "\\s+", " ").alias("norm_text"),
+        F.md5(norm).alias("fingerprint"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.substring_index(F.col("text"), " ", 1).alias("first_token"),
+    ).orderBy("doc_id")
+
+
+def f14_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence/token split + length predicate + frequency top-k
+    (precision_recall.py:327; llm_validation_playwright.py:94-97)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.length("word") >= 5
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic scan→filter→agg shape; decimal-exact measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "a1_degree_topk": """
+        SELECT o_custkey, count(*) AS degree
+        FROM orders GROUP BY o_custkey
+        ORDER BY degree DESC, o_custkey LIMIT 10
+    """,
+    "a2_a4_validation_weights": """
+        WITH agg AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN value END) AS normal_best,
+                 max(CASE WHEN event_type = 'error' THEN value END) AS opposing_best
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, normal_best, opposing_best,
+               CASE WHEN coalesce(normal_best,0)+coalesce(opposing_best,0) > 0
+                    THEN coalesce(normal_best,0)/(coalesce(normal_best,0)+coalesce(opposing_best,0))
+                    ELSE 0.5 END AS weight,
+               CAST(CASE WHEN coalesce(normal_best,0) > coalesce(opposing_best,0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS vote
+        FROM agg ORDER BY user_id
+    """,
+    "a6_precision_recall": """
+        WITH agg AS (
+          SELECT l_orderkey,
+            sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS tp,
+            sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS fp,
+            sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS fn
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(tp AS DOUBLE) AS tp_qty, CAST(fp AS DOUBLE) AS fp_qty,
+               CAST(fn AS DOUBLE) AS fn_qty,
+               CASE WHEN CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE) > 0
+                    THEN CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)) ELSE 0.0 END AS precision,
+               CASE WHEN CAST(tp AS DOUBLE)+CAST(fn AS DOUBLE) > 0
+                    THEN CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fn AS DOUBLE)) ELSE 0.0 END AS recall
+        FROM agg ORDER BY l_orderkey
+    """,
+    "a7_macro_average": """
+        WITH agg AS (
+          SELECT l_orderkey,
+                 sum(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS tp_n,
+                 sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS fp_n
+          FROM lineitem GROUP BY l_orderkey
+        ), per AS (
+          SELECT CASE WHEN tp_n+fp_n > 0
+                      THEN CAST(tp_n AS DOUBLE)/CAST(tp_n+fp_n AS DOUBLE)
+                      ELSE 0.0 END AS precision
+          FROM agg
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CAST(precision AS DECIMAL(18,9))) AS DOUBLE) AS sum_precision
+          FROM per
+        )
+        SELECT n_groups, sum_precision, sum_precision/n_groups AS macro_precision
+        FROM tot
+    """,
+    "a10_accuracy_summary": """
+        SELECT CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+               CAST(sum(CASE WHEN event_type<>'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN event_type<>'error' THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS accuracy
+        FROM events
+    """,
+    "a11_entity_union": """
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS entity FROM documents
+        )
+        SELECT source, CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+        FROM toks WHERE entity <> '' GROUP BY source ORDER BY source
+    """,
+    "j2_broadcast_dim_join": """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "j3_anti_join_seen": """
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
+    """,
+    "j7_semi_join_membership": """
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_size > 40 AND p.p_partkey = l.l_partkey)
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "j5_keyword_canonicalization": """
+        SELECT r_name AS region_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY region_name
+    """,
+    "j6_topdegree_semi": """
+        WITH top AS (
+          SELECT o_custkey AS top_custkey, count(*) AS degree
+          FROM orders GROUP BY o_custkey
+          ORDER BY degree DESC, o_custkey LIMIT 5
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders WHERE o_custkey IN (SELECT top_custkey FROM top)
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "w1_carry_forward": """
+        SELECT user_id, event_id,
+               last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_marker
+        FROM events ORDER BY user_id, event_id
+    """,
+    "w2_politeness_slots": """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS slot,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 3 AS eligible
+        FROM events ORDER BY user_id, event_id
+    """,
+    "o3_topk_per_group": """
+        WITH ranked AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank_in_segment
+          FROM customer
+        )
+        SELECT * FROM ranked WHERE rank_in_segment <= 5
+        ORDER BY c_mktsegment, rank_in_segment
+    """,
+    "w_running_total": """
+        SELECT user_id, event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events ORDER BY user_id, event_id
+    """,
+    "o2_global_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "o4_seeded_sample": """
+        SELECT doc_id, lang, md5('sample42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents ORDER BY shuffle_key LIMIT 50
+    """,
+    "u4_union_distinct": """
+        SELECT DISTINCT c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        ) ORDER BY c_custkey
+    """,
+    "u6_except_missed": """
+        SELECT DISTINCT o_orderkey AS orderkey FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        ORDER BY orderkey
+    """,
+    "f_string_suite": """
+        SELECT doc_id,
+               regexp_replace(source, '[^a-zA-Z0-9_-]', '_', 'g') AS node_key,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+               md5(lower(trim(text))) AS fingerprint,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_computed,
+               string_split(text, ' ')[1] AS first_token
+        FROM documents ORDER BY doc_id
+    """,
+    "f14_word_topk": """
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM words WHERE length(word) >= 5
+        GROUP BY word ORDER BY freq DESC, word LIMIT 20
+    """,
+    "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+}
+
+QUERIES = {
+    "a1_degree_topk": a1_degree_topk,
+    "a2_a4_validation_weights": a2_a4_validation_weights,
+    "a6_precision_recall": a6_precision_recall,
+    "a7_macro_average": a7_macro_average,
+    "a10_accuracy_summary": a10_accuracy_summary,
+    "a11_entity_union": a11_entity_union,
+    "j2_broadcast_dim_join": j2_broadcast_dim_join,
+    "j3_anti_join_seen": j3_anti_join_seen,
+    "j7_semi_join_membership": j7_semi_join_membership,
+    "j5_keyword_canonicalization": j5_keyword_canonicalization,
+    "j6_topdegree_semi": j6_topdegree_semi,
+    "w1_carry_forward": w1_carry_forward,
+    "w2_politeness_slots": w2_politeness_slots,
+    "o3_topk_per_group": o3_topk_per_group,
+    "w_running_total": w_running_total,
+    "o2_global_topk": o2_global_topk,
+    "o4_seeded_sample": o4_seeded_sample,
+    "u4_union_distinct": u4_union_distinct,
+    "u6_except_missed": u6_except_missed,
+    "f_string_suite": f_string_suite,
+    "f14_word_topk": f14_word_topk,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+}

@@ -44,8 +44,42 @@ _HEADINGS = (
 _PREDICATES = ["manufactures", "collects", "observes", "contains", "supports"]
 
 
+# Bench-scale web profile: many hosts so politeness never caps the
+# measured throughput; host identity is derivable from the URL alone,
+# so the web stays a pure function at any scale.
+BENCH_DOMAIN = ".bench.example.com"
+BENCH_HOSTS = 4096
+BENCH_UNIVERSE = 100_000
+BENCH_HOT = f"h0{BENCH_DOMAIN}"
+
+
 def hosts() -> list[str]:
     return [HOT_HOST] + [f"host-{i:03d}.example.com" for i in range(N_HOSTS - 1)]
+
+
+def bench_seed_urls(n_seeds: int) -> list[str]:
+    """Seeds over the 4096-host bench web; h0 is the hot host (~25%)."""
+    out = []
+    for i in range(n_seeds):
+        d = _digest("bench-seed", i)
+        k = 0 if d[0] % 4 == 0 else int.from_bytes(d[1:3], "big") % BENCH_HOSTS
+        item = int.from_bytes(d[3:7], "big") % BENCH_UNIVERSE
+        out.append(f"https://h{k}{BENCH_DOMAIN}/item/{item}")
+    return out
+
+
+def bench_robots_rows() -> list[dict]:
+    rows = []
+    for k in range(BENCH_HOSTS):
+        d = _digest("bench-robots", k)
+        rows.append(
+            {
+                "host": f"h{k}{BENCH_DOMAIN}",
+                "disallow_prefix": "/private" if d[0] % 4 == 0 else None,
+                "crawl_delay_ms": 100 + (d[1] % 4) * 100,
+            }
+        )
+    return rows
 
 
 def _digest(*parts: object) -> bytes:
@@ -53,6 +87,8 @@ def _digest(*parts: object) -> bytes:
 
 
 def _universe(host: str) -> int:
+    if host.endswith(BENCH_DOMAIN):
+        return BENCH_UNIVERSE
     return HOT_UNIVERSE if host == HOT_HOST else UNIVERSE
 
 
@@ -166,7 +202,14 @@ def page_outlinks(canonical_url: str) -> list[str]:
             href = f"https://{host.upper()}/item/{k}#desc"
         links.append(href)
     # cross-host edge — mostly pointing AT the hot host (skew source)
-    if d[17] % 3 == 0:
+    if host.endswith(BENCH_DOMAIN):
+        if d[17] % 3 != 2:
+            k = 0 if d[18] % 4 == 0 else int.from_bytes(d[14:16], "big") % BENCH_HOSTS
+            links.append(
+                f"https://h{k}{BENCH_DOMAIN}/item/"
+                f"{int.from_bytes(d[10:14], 'big') % BENCH_UNIVERSE}"
+            )
+    elif d[17] % 3 == 0:
         links.append(item_url(HOT_HOST, int.from_bytes(d[14:18], "big") % HOT_UNIVERSE))
     elif d[17] % 3 == 1:
         other = hosts()[1 + d[18] % (N_HOSTS - 1)]
