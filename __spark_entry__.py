@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from llm_scraper_spark.operators import (
     dedup,
     multimodal,
+    reference_parity,
     relational,
     similarity,
     textstats,
@@ -30,7 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup.dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = (relational, dedup, similarity, textstats, multimodal, streaming_jobs)
+_MODULES = (
+    relational,
+    reference_parity,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    streaming_jobs,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -27,6 +27,9 @@ DIM = 64
 N_PLANES = 8
 TOP_K = 3
 N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_CELLS = 8     # IVF coarse cells (centroids)
+N_PROBE = 2     # IVF cells probed per query
+NEAR_DUP_COS = 0.95
 
 
 def _plane_signs() -> list[list[int]]:
@@ -154,6 +157,148 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(vecs: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: cell = argmax-cosine centroid.
+
+    Centroids are the vectors with vec_id ∈ [N_QUERIES, N_QUERIES+N_CELLS)
+    — a deterministic stand-in for a k-means codebook (training the
+    codebook is an offline step; the *serving* plan below is the real
+    thing).  The assignment is a broadcast join against the tiny
+    centroid table + a per-vector argmax window: one corpus scan, no
+    corpus shuffle beyond the rank partition."""
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell"),
+        F.col("qe").alias("c_qe"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    scored = vecs.join(F.broadcast(cents))
+    cos = _dot("c_qe", "qe").cast("double") / (
+        F.sqrt(F.col("c_norm2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.select("vec_id", "cell", cos.alias("c_cos"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k: corpus vectors are bucketed into N_CELLS coarse
+    cells; each query probes its N_PROBE nearest cells and ranks exact
+    cosine only within them.  The candidate join key is the cell id —
+    the same equi-join shape as LSH but with a learned codebook, so
+    cost scales with cell occupancy (corpus/N_CELLS × N_PROBE per
+    query), not corpus².
+    """
+    vecs = _quantized(spark, sf_dir)
+    cells = _ivf_assign(vecs)
+    v = vecs.join(cells, "vec_id")
+    # query → its N_PROBE closest cells (broadcast of centroids again)
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("probe_cell"),
+        F.col("qe").alias("c_qe"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    qcos = _dot("c_qe", "q_qe").cast("double") / (
+        F.sqrt(F.col("c_norm2").cast("double")) * F.sqrt(F.col("q_norm2").cast("double"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("probe_cell"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("query_id", "q_qe", "q_norm2", "probe_cell", qcos.alias("p_cos"))
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= N_PROBE)
+        .select("query_id", "q_qe", "q_norm2", F.col("probe_cell").alias("p_cell"))
+    )
+    cands = v.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot("q_qe", "qe").cast("double") / (
+        F.sqrt(F.col("q_norm2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .distinct()  # a neighbor may sit in both probed cells
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus ∪ deterministic
+    copies (exact for vec_id%13==0, tiny-perturbed for vec_id%9==0),
+    blocked by the 8-bit hyperplane bucket, exact cosine ≥ NEAR_DUP_COS
+    within blocks.  Blocking keeps the pair join linear in bucket
+    occupancy — the all-pairs cosine join is never materialized."""
+    vecs = _quantized(spark, sf_dir)
+    exact = vecs.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "qe", "norm2"
+    )
+    perturbed = (
+        vecs.filter(F.col("vec_id") % 9 == 0)
+        .select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            "label",
+            F.concat(
+                F.array(F.element_at(F.col("qe"), 1) + 1), F.slice("qe", 2, DIM - 1)
+            ).alias("qe"),
+        )
+        .withColumn(
+            "norm2",
+            F.aggregate("qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+        )
+    )
+    aug = vecs.unionByName(exact).unionByName(perturbed)
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(s) for s in PLANES[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("qe"), plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0).cast("long")
+    b = aug.withColumn("bucket", bucket)
+    pairs = b.alias("x").join(
+        b.alias("y"),
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x.qe"), F.col("y.qe"), lambda a_, b_: a_ * b_),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("x.norm2").cast("double")) * F.sqrt(F.col("y.norm2").cast("double"))
+    )
+    return (
+        pairs.select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _planes_sql(p: int) -> str:
     return "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
 
@@ -209,10 +354,96 @@ ORACLE_SQL = {
         )
         SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
     """,
+    "ann_ivf_topk": f"""
+        WITH {_QUANT_SQL},
+        cents AS (
+          SELECT vec_id - {N_QUERIES} AS cell, qe AS c_qe, norm2 AS c_norm2
+          FROM qn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+        ),
+        scored AS (
+          SELECT v.vec_id, v.qe, v.norm2, c.cell,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> v.qe[i] * c.c_qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS c_cos
+          FROM qn v CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY c_cos DESC, cell) AS crank
+            FROM scored
+          ) WHERE crank = 1
+        ),
+        qscored AS (
+          SELECT q2.vec_id AS query_id, q2.qe AS q_qe, q2.norm2 AS q_norm2, c.cell,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> q2.qe[i] * c.c_qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(q2.norm2 AS DOUBLE))) AS p_cos
+          FROM qn q2 CROSS JOIN cents c
+          WHERE q2.vec_id < {N_QUERIES}
+        ),
+        probes AS (
+          SELECT query_id, q_qe, q_norm2, cell FROM (
+            SELECT query_id, q_qe, q_norm2, cell,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY p_cos DESC, cell) AS prank
+            FROM qscored
+          ) WHERE prank <= {N_PROBE}
+        ),
+        cands AS (
+          SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> p.q_qe[i] * v.qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS cosine
+          FROM probes p
+          JOIN (SELECT qn.*, a.cell FROM qn JOIN assign a USING (vec_id)) v
+            ON v.cell = p.cell AND v.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          FROM cands
+        )
+        SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_QUANT_SQL},
+        pert AS (
+          SELECT vec_id + 200000 AS vec_id, label,
+                 list_concat([qe[1] + 1], qe[2:]) AS qe
+          FROM qn WHERE vec_id % 9 = 0
+        ),
+        aug AS (
+          SELECT vec_id, label, qe, norm2 FROM qn
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, label, qe, norm2
+          FROM qn WHERE vec_id % 13 = 0
+          UNION ALL
+          SELECT vec_id, label, qe,
+                 CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2
+          FROM pert
+        ),
+        b AS (
+          SELECT vec_id, qe, norm2, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM aug
+        ),
+        pairs AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> x.qe[i] * y.qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))) AS cosine
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM pairs
+        WHERE cosine >= {NEAR_DUP_COS} ORDER BY vec_a, vec_b
+    """,
 }
 
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
