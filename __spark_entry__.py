@@ -19,6 +19,7 @@ from llm_scraper_spark.operators import (
     reference_parity,
     relational,
     similarity,
+    spans,
     textstats,
 )
 from llm_scraper_spark.streaming import jobs as streaming_jobs
@@ -34,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (
     relational,
     reference_parity,
+    spans,
     dedup,
     similarity,
     textstats,

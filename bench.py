@@ -27,6 +27,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
     "a1_degree_topk",
     "j2_broadcast_dim_join",
     "a6_precision_recall",
@@ -35,6 +37,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "sim_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "doc_fingerprint",
 ]

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .graph import build_kg, degree_topk
+from .validate import validate_triplets
 
 KEYWORDS = ["spark", "hash", "window", "vector", "stream"]
 SENT_SEP = " the "  # synthetic-corpus "sentence" delimiter
@@ -239,6 +240,26 @@ def kg_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_topk(edges, k=10)
 
 
+# ------------------------------------------------------- A2-A5 cascade
+def validation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage validation cascade (validation_pipeline.py:
+    7-29) over derived triplets: cheap search-count scoring for all,
+    expensive NLI only for the weak (<50) subset — the staged plan that
+    keeps the expensive UDF off the hot path.  The pandas-UDF scores
+    are md5-derived, so the oracle reproduces them in pure SQL."""
+    out = validate_triplets(_kg_triplets(spark, sf_dir))
+    return out.select(
+        "subj",
+        "obj",
+        F.col("normal_best").cast("long").alias("normal_best"),
+        F.col("opposing_best").cast("long").alias("opposing_best"),
+        "search_weight",
+        F.col("weight").cast("double").alias("weight"),
+        "validation_method",
+        "vote",
+    ).orderBy("subj", "obj")
+
+
 # ------------------------------------------------------------------ SQL
 _KG_TRIP_SQL = """
   trip AS (
@@ -258,7 +279,53 @@ _KG_TRIP_SQL = """
   )
 """
 
+def _md5mod_sql(seed_expr: str, hexlen: int, mod: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({seed_expr}), 1, {hexlen})) AS BIGINT) % {mod}"
+    )
+
+
+_KEY_SQL = "subj_type || '|' || subj || '|' || predicate || '|' || obj_type || '|' || obj"
+_NORMAL_SQL = "GREATEST(" + ", ".join(
+    _md5mod_sql(f"'n{v}|' || k", 8, 1_000_000) for v in range(5)
+) + ")"
+_OPPOSING_SQL = "GREATEST(" + ", ".join(
+    _md5mod_sql(f"'o{v}|' || k", 8, 1_000_000) for v in range(5)
+) + ")"
+_NLI_SQL = "CAST(GREATEST(" + ", ".join(
+    _md5mod_sql(f"'nli{s}|' || k", 4, 101) for s in range(3)
+) + ") AS DOUBLE)"
+
 ORACLE_SQL = {
+    "validation_cascade": f"""
+        WITH {_KG_TRIP_SQL},
+        keyed2 AS (
+          SELECT subj, obj, {_KEY_SQL} AS k FROM trip
+        ),
+        scored AS (
+          SELECT subj, obj, k,
+                 {_NORMAL_SQL} AS normal_best,
+                 {_OPPOSING_SQL} AS opposing_best
+          FROM keyed2
+        ),
+        staged AS (
+          SELECT subj, obj, k, normal_best, opposing_best,
+                 (CAST(normal_best AS DOUBLE)
+                  / CAST(normal_best + opposing_best AS DOUBLE)) * 100.0 AS search_weight
+          FROM scored
+        )
+        SELECT subj, obj,
+               CAST(normal_best AS BIGINT) AS normal_best,
+               CAST(opposing_best AS BIGINT) AS opposing_best,
+               search_weight,
+               CASE WHEN search_weight >= 50 THEN search_weight
+                    ELSE {_NLI_SQL} END AS weight,
+               CASE WHEN search_weight >= 50 THEN 'search' ELSE 'nli' END
+                 AS validation_method,
+               CAST(CASE WHEN normal_best > opposing_best THEN 1 ELSE 0 END AS BIGINT)
+                 AS vote
+        FROM staged ORDER BY subj, obj
+    """,
     "j1_content_annotation_join": """
         SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label,
                e.label IS NOT NULL AS has_annotation
@@ -363,6 +430,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "validation_cascade": validation_cascade,
     "j1_content_annotation_join": j1_content_annotation_join,
     "a5_entailment_max": a5_entailment_max,
     "a8_fuzzy_precision_count": a8_fuzzy_precision_count,
