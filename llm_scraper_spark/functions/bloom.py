@@ -23,6 +23,7 @@ thing that cannot scale; this replaces it.
 from __future__ import annotations
 
 import math
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -30,7 +31,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
+# Double-hash mixing uses ONLY shift/xor/mask (no 64-bit multiply):
+# the same probe indices are computed by the numpy path below and by
+# the JVM column expression in ``bloom_probe_col`` — bigint multiply
+# would overflow-throw under ANSI SQL, shift/xor/and never do.  All
+# intermediates stay < 2^61 so numpy-uint64 and JVM-signed-int64
+# arithmetic agree bit-for-bit.
+_MASK61 = np.uint64((1 << 61) - 1)
+_MASK58 = np.uint64((1 << 58) - 1)
+_MASK64 = np.uint64((1 << 64) - 1)
 
 
 @dataclass
@@ -43,9 +52,11 @@ class BloomFilter:
         """k probe positions per hash — double hashing, fully vectorized."""
         h1 = hashes.astype(np.uint64)
         with np.errstate(over="ignore"):
-            h2 = (h1 * _MIX) | np.uint64(1)
+            h1m = h1 & _MASK61
+            h2 = ((h1 ^ (h1 >> np.uint64(31)) ^ ((h1 << np.uint64(17)) & _MASK64))
+                  & _MASK58) | np.uint64(1)
             steps = np.arange(self.k, dtype=np.uint64)[:, None]
-            return ((h1[None, :] + steps * h2[None, :]) % np.uint64(self.m_bits))
+            return ((h1m[None, :] + steps * h2[None, :]) % np.uint64(self.m_bits))
 
     def add(self, hashes: np.ndarray) -> None:
         idx = self._indices(np.asarray(hashes, dtype=np.uint64)).ravel()
@@ -106,18 +117,61 @@ def build_bloom(
     return BloomFilter(m_bits, k, acc)
 
 
+def bitmap_array_col(spark: SparkSession, bloom: BloomFilter) -> "F.Column":
+    """The bitmap as an ``array<bigint>`` scalar-subquery column.
+
+    The raw bytes travel driver→JVM as ONE binary blob (py4j literal
+    construction is O(n) round-trips and unusable beyond ~10^4
+    elements; a blob is one call).  A single-row subquery unpacks the
+    little-endian words JVM-side; the planner executes it once and the
+    probe expression references the materialized array — no Python
+    worker, no per-row copy, no broadcast-join row bloat."""
+    n_words = len(bloom.words)
+    view = f"bloom_bitmap_{uuid.uuid4().hex[:12]}"
+    raw_df = spark.createDataFrame(
+        [(bytearray(bloom.to_bytes()),)], "raw binary"
+    )
+    raw_df.selectExpr(
+        f"""
+        transform(sequence(0, {n_words - 1}), j ->
+          aggregate(sequence(0, 7), cast(0 as bigint), (acc, b) ->
+            acc + shiftleft(
+              cast(conv(hex(substring(raw, j * 8 + b + 1, 1)), 16, 10) as bigint),
+              b * 8))
+        ) as arr
+        """
+    ).createOrReplaceTempView(view)
+    return F.expr(f"(select arr from {view})")
+
+
+def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
+    """JVM-side Bloom probe over an ``array<bigint>`` bitmap column:
+    k shift/xor/mask probes + element_at/getbit — whole-stage-
+    codegen'd, no Python in the filter path.  The arithmetic mirrors
+    ``BloomFilter._indices`` bit-for-bit (see the mixing note above)."""
+    h1 = hash_col.bitwiseAND(F.lit((1 << 63) - 1))
+    h1m = h1.bitwiseAND(F.lit((1 << 61) - 1))
+    h2 = (
+        h1.bitwiseXOR(F.shiftright(h1, 31))
+        .bitwiseXOR(F.shiftleft(h1, 17))
+        .bitwiseAND(F.lit((1 << 58) - 1))
+        .bitwiseOR(F.lit(1))
+    )
+    flag = F.lit(True)
+    for i in range(k):
+        idx = F.pmod(h1m + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(arr, (F.shiftright(idx, 6) + 1).cast("int"))
+        flag = flag & (F.getbit(word, F.pmod(idx, F.lit(64))) == 1)
+    return flag
+
+
 def with_bloom_flag(
     spark: SparkSession, df: DataFrame, bloom: BloomFilter | None, col: str = "url_hash"
 ) -> DataFrame:
-    """Add ``_maybe_seen`` boolean via a broadcast bitmap + Arrow UDF."""
+    """Add ``_maybe_seen`` boolean via the JVM bitmap probe."""
     if bloom is None:
         return df.withColumn("_maybe_seen", F.lit(False))
-    bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.to_bytes()))
-
-    @F.pandas_udf("boolean")
-    def probe(h: pd.Series) -> pd.Series:
-        m_bits, k, raw = bc.value
-        bf = BloomFilter.from_bytes(m_bits, k, raw)
-        return pd.Series(bf.maybe_contains(h.to_numpy(dtype=np.uint64)))
-
-    return df.withColumn("_maybe_seen", probe(F.col(col)))
+    arr = bitmap_array_col(spark, bloom)
+    return df.withColumn(
+        "_maybe_seen", bloom_probe_col(arr, bloom.m_bits, bloom.k, F.col(col))
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.bloom import BloomFilter, build_bloom, with_bloom_flag
-from ..functions.urls import canonicalize_with_base_udf, host_col, url_hash_udf
+from ..functions.urls import canonicalize_col, host_col, url_hash_col
 from ..sources.synthweb import fetch_batch
 
 DEFAULT_CRAWL_DELAY_MS = 1000
@@ -46,9 +46,11 @@ _FETCH_SCHEMA = (
 
 @dataclass
 class RoundResult:
-    fetch_log: DataFrame      # FETCH_LOG schema
-    documents: DataFrame      # (doc_id, spans, round)
-    seen_delta: DataFrame     # SEEN schema (fetched + robots-blocked)
+    fetched: DataFrame        # superset: url/spans/outlinks/slot/host/…
+    blocked: DataFrame        # robots-blocked rows (url_hash, url, first_round)
+    fetch_log: DataFrame      # projection of fetched (FETCH_LOG schema)
+    documents: DataFrame      # projection of fetched (doc_id, spans, round)
+    seen_delta: DataFrame     # fetched ∪ blocked projections (SEEN schema)
     next_frontier: DataFrame  # FRONTIER schema (deferred ∪ new links)
     metrics: dict = field(default_factory=dict)
     _cached: list = field(default_factory=list)
@@ -113,11 +115,20 @@ def run_round(
         )
 
     # --- robots gate (broadcast: robots is a per-host dim table) -------
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    gated = candidates.join(F.broadcast(robots), "host", "left").withColumn(
-        "_blocked",
-        F.col("disallow_prefix").isNotNull()
-        & path.startswith(F.col("disallow_prefix")),
+    # regexp path extraction (codegen'd; url is already canonical)
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*(/[^?#]*)", 1)
+    gated = (
+        candidates.join(F.broadcast(robots), "host", "left")
+        .withColumn(
+            "_blocked",
+            F.col("disallow_prefix").isNotNull()
+            & path.startswith(F.col("disallow_prefix")),
+        )
+        # persisted: the blocked branch, the politeness window, and the
+        # deferred split all read this — without the cache each consumer
+        # replays the Bloom probe + anti-join + robots join over the
+        # whole frontier (a full frontier pass per consumer at scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     blocked_seen = (
         gated.filter(F.col("_blocked"))
@@ -154,33 +165,31 @@ def run_round(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    fetch_log = fetched.select(
-        F.lit(round_no).alias("round"),
-        "slot",
-        "host",
-        F.col("doc_id").alias("url"),
-        "url_hash",
-        "priority",
-        "depth",
+    fetch_log = fetched_projections(fetched, round_no)["fetch_log"]
+    documents = fetched_projections(fetched, round_no)["documents"]
+    seen_delta = fetched_projections(fetched, round_no)["seen_delta"].unionByName(
+        blocked_seen
     )
-    documents = fetched.select("doc_id", "spans", F.lit(round_no).alias("round"))
-    seen_delta = fetched.select(
-        "url_hash",
-        F.col("doc_id").alias("url"),
-        F.lit(round_no).alias("first_round"),
-    ).unionByName(blocked_seen)
 
     # --- W3: next frontier = canonicalized outlinks ⟕anti (seen∪delta∪deferred)
     raw_links = fetched.select(
         F.col("doc_id").alias("base"), "depth", F.explode("outlinks").alias("raw")
     )
+    # hash + host are computed BEFORE the dedup shuffle, on the (wide,
+    # fully parallel) exploded-links side, and ride through the groupBy
+    # as extra keys (they are pure functions of url, so the key set is
+    # unchanged).  Computing them after the groupBy puts the per-URL
+    # work into the AQE-coalesced post-shuffle stage — measured as a
+    # single-task serial bottleneck at local[32].
     canon = (
-        raw_links.withColumn("url", canonicalize_with_base_udf("raw", "base"))
+        raw_links.withColumn(
+            "url", canonicalize_col(F.col("raw"), F.col("base"))
+        )
         .filter(F.col("url").isNotNull())
-        .groupBy("url")
-        .agg((F.min("depth") + 1).alias("depth"))
-        .withColumn("url_hash", url_hash_udf("url"))
+        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", host_col(F.col("url")))
+        .groupBy("url", "url_hash", "host")
+        .agg((F.min("depth") + 1).alias("depth"))
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("discovered_round", F.lit(round_no + 1))
     )
@@ -193,10 +202,38 @@ def run_round(
     next_frontier = deferred.unionByName(new_links)
 
     return RoundResult(
+        fetched=fetched.withColumn("round", F.lit(round_no)),
+        blocked=blocked_seen,
         fetch_log=fetch_log,
         documents=documents,
         seen_delta=seen_delta,
         next_frontier=next_frontier,
         metrics={"round": round_no},
-        _cached=[slotted, fetched],
+        _cached=[gated, slotted, fetched],
     )
+
+
+def fetched_projections(fetched: DataFrame, round_no: int) -> dict[str, DataFrame]:
+    """Column projections of one round's fetched superset — the single
+    fetched snapshot serves as fetch log, documents table, and seen
+    delta; parquet column pruning makes each read touch only its
+    columns."""
+    return {
+        "fetch_log": fetched.select(
+            F.lit(round_no).alias("round"),
+            "slot",
+            "host",
+            F.col("doc_id").alias("url"),
+            "url_hash",
+            "priority",
+            "depth",
+        ),
+        "documents": fetched.select(
+            "doc_id", "spans", F.lit(round_no).alias("round")
+        ),
+        "seen_delta": fetched.select(
+            "url_hash",
+            F.col("doc_id").alias("url"),
+            F.lit(round_no).alias("first_round"),
+        ),
+    }

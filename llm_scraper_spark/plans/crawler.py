@@ -10,11 +10,23 @@ a byte-identical crawl (tested in tests/test_resume.py).
 Layout under ``workdir``:
     robots.parquet                 per-host rules (dim table)
     frontier/r{N}.parquet          frontier *entering* round N
-    seen/delta_r{N}.parquet        seen-set delta committed by round N
-    documents/r{N}.parquet         span documents fetched in round N
-    fetch_log/r{N}.parquet         politeness-slotted fetch log
+    fetch/r{N}.parquet             ONE fetched-superset snapshot per
+                                   round (url, spans, outlinks, slot,
+                                   host, …) — the fetch log, documents
+                                   table, and fetched-seen delta are
+                                   column projections of it (parquet
+                                   column pruning makes each view read
+                                   only its columns; one write job per
+                                   round instead of three)
+    blocked/r{N}.parquet           robots-blocked seen delta (tiny)
     manifests/r{N}.json            commit record: row counts, metrics,
                                    per-partition lineage
+
+The URL-seen Bloom prefilter is maintained incrementally on the driver
+(fixed-size bitmap OR'd with each round's delta bitmap, built
+distributed); on resume it is rebuilt once from the committed seen
+set.  When the seen count approaches bitmap capacity the filter is
+rebuilt at 4x (amortized O(1) per round).
 
 Reference analogs: append-mode output files + manual slice resume
 (scrape_eccomerce.py:289 ``"a"`` mode; extract_pages.py:137
@@ -33,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..functions.urls import canonicalize_udf, host_col, url_hash_udf
+from ..functions.urls import canonicalize_col, host_col, url_hash_col
 from ..operators.frontier import run_round
 
 
@@ -57,10 +69,10 @@ def seeds_to_frontier(spark: SparkSession, seed_list: list[str]) -> DataFrame:
         [(u, i) for i, u in enumerate(seed_list)], "raw string, seed_rank int"
     )
     return (
-        raw.withColumn("url", canonicalize_udf("raw"))
+        raw.withColumn("url", canonicalize_col(F.col("raw")))
         .filter(F.col("url").isNotNull())
         .dropDuplicates(["url"])
-        .withColumn("url_hash", url_hash_udf("url"))
+        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", host_col(F.col("url")))
         .select(
             "url",
@@ -83,6 +95,7 @@ class Crawler:
         salt_buckets: int = 16,
         use_bloom: bool = True,
         fetch_partitions: int | None = None,
+        bloom_capacity: int | None = None,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -90,6 +103,12 @@ class Crawler:
         self.salt_buckets = salt_buckets
         self.use_bloom = use_bloom
         self.fetch_partitions = fetch_partitions
+        # minimum capacity hint (e.g. expected crawl size); the actual
+        # bitmap is sized adaptively from the committed seen count and
+        # rebuilt at 4x when it fills, so tiny crawls get tiny bitmaps
+        self.bloom_capacity = bloom_capacity or 0
+        self._bloom = None  # incremental URL-seen prefilter
+        self._bloom_cap = 0  # capacity the current bitmap was built at
 
     # ---- state io ------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -114,31 +133,89 @@ class Crawler:
         ]
         return max(rounds, default=-1)
 
-    def seen_df(self, upto_round: int) -> DataFrame:
-        paths = [
-            self._p("seen", f"delta_r{i}.parquet")
-            for i in range(upto_round + 1)
-            if os.path.isdir(self._p("seen", f"delta_r{i}.parquet"))
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], schemas.SEEN)
-        return self.spark.read.parquet(*paths)
-
-    def _multi(self, sub: str, upto_round: int | None = None) -> DataFrame:
-        d = self._p(sub)
+    def _paths(self, sub: str, upto_round: int | None = None) -> list[str]:
         last = self.last_committed_round() if upto_round is None else upto_round
-        paths = [
-            os.path.join(d, f"r{i}.parquet")
+        return [
+            self._p(sub, f"r{i}.parquet")
             for i in range(last + 1)
-            if os.path.isdir(os.path.join(d, f"r{i}.parquet"))
+            if os.path.isdir(self._p(sub, f"r{i}.parquet"))
         ]
-        return self.spark.read.parquet(*paths)
+
+    def seen_df(self, upto_round: int) -> DataFrame:
+        """Seen set = fetched ∪ robots-blocked over committed rounds —
+        column projections of the per-round snapshots (parquet reads
+        only url_hash/url/round thanks to column pruning)."""
+        fetch_paths = self._paths("fetch", upto_round)
+        blocked_paths = self._paths("blocked", upto_round)
+        parts = []
+        if fetch_paths:
+            parts.append(
+                self.spark.read.parquet(*fetch_paths).select(
+                    "url_hash",
+                    F.col("doc_id").alias("url"),
+                    F.col("round").alias("first_round"),
+                )
+            )
+        if blocked_paths:
+            parts.append(self.spark.read.parquet(*blocked_paths))
+        if not parts:
+            return self.spark.createDataFrame([], schemas.SEEN)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def fetch_log_df(self) -> DataFrame:
-        return self._multi("fetch_log")
+        paths = self._paths("fetch")
+        df = self.spark.read.parquet(*paths)
+        return df.select(
+            "round",
+            "slot",
+            "host",
+            F.col("doc_id").alias("url"),
+            "url_hash",
+            "priority",
+            "depth",
+        )
 
     def documents_df(self) -> DataFrame:
-        return self._multi("documents")
+        paths = self._paths("fetch")
+        return self.spark.read.parquet(*paths).select("doc_id", "spans", "round")
+
+    # ---- bloom maintenance ---------------------------------------------
+    def _bloom_rebuild(self, upto_round: int, seen_rows: int) -> None:
+        from ..functions.bloom import build_bloom
+
+        cap = max(self.bloom_capacity, 4096, 4 * seen_rows)
+        self._bloom_cap = cap
+        self._bloom = build_bloom(self.seen_df(upto_round), capacity=cap)
+
+    def _bloom_absorb(self, r: int, seen_rows: int) -> None:
+        """OR round r's delta into the incremental filter; rebuild
+        (at ≥4x the seen count) when the bitmap fills — keeps fpp
+        bounded at amortized O(1) extra passes."""
+        from ..functions.bloom import build_bloom
+
+        if not self.use_bloom:
+            return
+        if self._bloom is not None and seen_rows > self._bloom_cap // 2:
+            self._bloom = None
+        if self._bloom is None:
+            self._bloom_rebuild(r, seen_rows)
+            return
+        # read ONLY round r's snapshots (url_hash column), not the
+        # whole seen set — keeps the per-round bloom update O(delta)
+        delta = self.spark.read.parquet(self._p("fetch", f"r{r}.parquet")).select(
+            "url_hash"
+        )
+        bpath = self._p("blocked", f"r{r}.parquet")
+        if os.path.isdir(bpath):
+            delta = delta.unionByName(
+                self.spark.read.parquet(bpath).select("url_hash")
+            )
+        part = build_bloom(delta, capacity=self._bloom_cap)
+        if part is not None:
+            self._bloom.words |= part.words
 
     # ---- the loop --------------------------------------------------------
     def run(self, max_rounds: int) -> list[dict]:
@@ -150,6 +227,8 @@ class Crawler:
         if start_round > 0:
             with open(_manifest_path(self.workdir, start_round - 1)) as f:
                 seen_rows = json.load(f)["seen_total"]
+            if self.use_bloom:
+                self._bloom_rebuild(start_round - 1, seen_rows)
 
         for r in range(start_round, max_rounds):
             fpath = self._p("frontier", f"r{r}.parquet")
@@ -159,6 +238,13 @@ class Crawler:
             if not frontier.head(1):
                 break
             t0 = time.monotonic()
+            phase_t: dict[str, float] = {}
+
+            def _mark(name: str, _last=[t0]) -> None:
+                now = time.monotonic()
+                phase_t[name] = round(now - _last[0], 3)
+                _last[0] = now
+
             seen = self.seen_df(r - 1)
             res = run_round(
                 self.spark,
@@ -169,53 +255,62 @@ class Crawler:
                 budget_ms=self.budget_ms,
                 salt_buckets=self.salt_buckets,
                 use_bloom=self.use_bloom,
+                bloom=self._bloom,
                 fetch_partitions=self.fetch_partitions,
-                seen_count_estimate=seen_rows if self.use_bloom else None,
             )
-            # materialize snapshots (each write is one job over cached state)
-            res.documents.write.mode("overwrite").parquet(
-                self._p("documents", f"r{r}.parquet")
+            _mark("plan")
+            # ONE fetched-superset write runs the whole round pipeline;
+            # log/documents/seen views are projections of this snapshot
+            res.fetched.write.mode("overwrite").parquet(
+                self._p("fetch", f"r{r}.parquet")
             )
-            res.fetch_log.write.mode("overwrite").parquet(
-                self._p("fetch_log", f"r{r}.parquet")
+            _mark("write_fetched")
+            res.blocked.write.mode("overwrite").parquet(
+                self._p("blocked", f"r{r}.parquet")
             )
-            res.seen_delta.write.mode("overwrite").parquet(
-                self._p("seen", f"delta_r{r}.parquet")
-            )
+            _mark("write_blocked")
             res.next_frontier.write.mode("overwrite").parquet(
                 self._p("frontier", f"r{r + 1}.parquet")
             )
+            _mark("write_next_frontier")
 
-            # lineage + metrics from the written snapshots (parquet
-            # footers make counts cheap; no extra shuffle)
-            log = self.spark.read.parquet(self._p("fetch_log", f"r{r}.parquet"))
+            # lineage + metrics from the written snapshot (column-pruned
+            # read of one bigint column; parquet footers make the other
+            # counts metadata-cheap)
+            log = self.spark.read.parquet(self._p("fetch", f"r{r}.parquet"))
             lineage = [
                 {"partition": int(row["pid"]), "rows": int(row["rows"])}
-                for row in log.groupBy(F.spark_partition_id().alias("pid"))
+                for row in log.select("url_hash")
+                .groupBy(F.spark_partition_id().alias("pid"))
                 .agg(F.count("*").alias("rows"))
                 .collect()
             ]
             fetched = sum(x["rows"] for x in lineage)
-            delta_rows = self.spark.read.parquet(
-                self._p("seen", f"delta_r{r}.parquet")
+            blocked_rows = self.spark.read.parquet(
+                self._p("blocked", f"r{r}.parquet")
             ).count()
+            delta_rows = fetched + blocked_rows
             next_frontier_rows = self.spark.read.parquet(
                 self._p("frontier", f"r{r + 1}.parquet")
             ).count()
+            _mark("counts")
             seen_rows += delta_rows
             elapsed = time.monotonic() - t0
             manifest = {
                 "round": r,
                 "fetched": fetched,
+                "blocked": blocked_rows,
                 "seen_delta": delta_rows,
                 "seen_total": seen_rows,
                 "next_frontier": next_frontier_rows,
                 "elapsed_sec": round(elapsed, 3),
                 "urls_per_sec": round(fetched / elapsed, 2) if elapsed > 0 else None,
+                "phase_sec": phase_t,
                 "partition_lineage": sorted(lineage, key=lambda x: x["partition"]),
             }
             _write_manifest(self.workdir, r, manifest)
             manifests.append(manifest)
+            self._bloom_absorb(r, seen_rows)
             res.unpersist()
             if next_frontier_rows == 0:
                 break

@@ -1,0 +1,50 @@
+"""JVM literal-bitmap Bloom probe ≡ the numpy probe, and Bloom
+correctness invariants (no false negatives)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from llm_scraper_spark.functions.bloom import (
+    BloomFilter,
+    bitmap_array_col,
+    bloom_probe_col,
+    build_bloom,
+    with_bloom_flag,
+)
+
+
+def test_jvm_probe_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    added = rng.integers(0, 1 << 62, size=5000, dtype=np.int64)
+    probes = np.concatenate(
+        [added[:2500], rng.integers(0, 1 << 62, size=5000, dtype=np.int64)]
+    )
+    bf = BloomFilter.empty(capacity=5000, fpp=0.01)
+    bf.add(added.astype(np.uint64))
+    want = bf.maybe_contains(probes.astype(np.uint64)).tolist()
+    df = spark.createDataFrame([(int(h),) for h in probes], "url_hash long")
+    arr = bitmap_array_col(spark, bf)
+    got = [
+        r["m"]
+        for r in df.select(
+            bloom_probe_col(arr, bf.m_bits, bf.k, F.col("url_hash")).alias("m")
+        ).collect()
+    ]
+    assert got == want
+    # no false negatives: everything added must be flagged
+    assert all(want[:2500])
+
+
+def test_distributed_build_and_flag(spark):
+    rows = [(int(h),) for h in range(10_000, 16_000)]
+    seen = spark.createDataFrame(rows, "url_hash long")
+    bf = build_bloom(seen, capacity=8192)
+    flagged = with_bloom_flag(spark, seen, bf)
+    assert flagged.filter(~F.col("_maybe_seen")).count() == 0
+    fresh = spark.createDataFrame(
+        [(int(h),) for h in range(1_000_000, 1_006_000)], "url_hash long"
+    )
+    fp = with_bloom_flag(spark, fresh, bf).filter(F.col("_maybe_seen")).count()
+    assert fp < 6000 * 0.05  # ~1% fpp with slack

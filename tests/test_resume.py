@@ -81,7 +81,7 @@ def test_resume_after_torn_round(spark, tmp_path, baseline):
     os.remove(os.path.join(wd, "manifests", "r1.json"))
     # also tear one of the snapshot dirs half-away to prove snapshots
     # of uncommitted rounds are disposable
-    shutil.rmtree(os.path.join(wd, "documents", "r1.parquet"))
+    shutil.rmtree(os.path.join(wd, "fetch", "r1.parquet"))
     eng2 = Crawler(spark, wd, budget_ms=BUDGET_MS, use_bloom=True)
     assert eng2.last_committed_round() == 0
     m2 = eng2.run(max_rounds=ROUNDS)
