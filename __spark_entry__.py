@@ -21,6 +21,7 @@ from llm_scraper_spark.operators import (
     similarity,
     spans,
     textstats,
+    tpch_extra,
 )
 from llm_scraper_spark.streaming import jobs as streaming_jobs
 
@@ -34,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _MODULES = (
     relational,
+    tpch_extra,
     reference_parity,
     spans,
     dedup,
