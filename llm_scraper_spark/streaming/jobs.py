@@ -83,12 +83,112 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _drain_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+SESSION_GAP_HOURS = 6
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# carry-over across micro-batches: tail of the last (still-open) session
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),       # epoch micros
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),  # epoch micros
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user gap sessionization.
+
+    Emits every session touched by this batch (update semantics: an
+    open session is re-emitted extended in later batches; downstream
+    keeps the latest row per (user_id, session_id)).  With an
+    AvailableNow single-batch drain this yields the exact full
+    sessionization — the oracle twin is the classic gaps-and-islands
+    SQL.  Counts/timestamps only in the output, so the cross-engine
+    compare is value-exact."""
+    import pandas as pd
+
+    (user_id,) = key
+    gap_us = SESSION_GAP_HOURS * 3600 * 1_000_000
+    batch = pd.concat(list(pdf_iter))
+    if batch.empty:
+        return
+    # normalize to epoch micros regardless of the Arrow batch's
+    # datetime unit (ns under pandas<2 semantics, us under pandas 2)
+    ts_ns = batch["ts"].values.astype("datetime64[ns]").astype("int64")
+    ts_us = pd.Series(ts_ns // 1000).sort_values().reset_index(drop=True)
+
+    if state.exists:
+        last_ts, sess_id, sess_start, n_events = state.get
+    else:
+        last_ts, sess_id, sess_start, n_events = None, 0, None, 0
+
+    out_rows = []
+    for t in ts_us:
+        if last_ts is None or t - last_ts > gap_us:
+            if sess_start is not None:
+                out_rows.append((sess_id, sess_start, last_ts, n_events))
+            sess_id += 1
+            sess_start, n_events = t, 0
+        n_events += 1
+        last_ts = t
+    out_rows.append((sess_id, sess_start, last_ts, n_events))  # open tail
+    state.update((int(last_ts), int(sess_id), int(sess_start), int(n_events)))
+
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(out_rows),
+            "session_id": [r[0] for r in out_rows],
+            "session_start": pd.to_datetime([r[1] for r in out_rows], unit="us"),
+            "session_end": pd.to_datetime([r[2] for r in out_rows], unit="us"),
+            "n_events": [r[3] for r in out_rows],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    sessionization with a 6-hour inactivity gap — the streaming form
+    of the reference's per-host 'session' of paginated fetches
+    (extract_product_urls.py:121-133 pagination loop with sleeps).
+    Arrow-batched per group; state is the open-session tail only, so
+    memory is O(active users), not O(events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        sessionize_stream(_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    ).orderBy("user_id", "session_id")
+
+
+def _drain_to_memory(
+    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     name = "mem_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -121,9 +221,32 @@ ORACLE_SQL = {
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "stream_sessionize": """
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM ordered
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
 }
 
 QUERIES = {
     "stream_windowed_counts": run_windowed_counts_available_now,
     "stream_stateful_dedup": run_stateful_dedup_available_now,
+    "stream_sessionize": run_sessionize_available_now,
 }

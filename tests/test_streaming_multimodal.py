@@ -27,3 +27,61 @@ def test_multimodal_matches_oracle(spark, name):
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         next(multimodal.real_decode(iter([])))
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Split events at a time boundary into two files, process one file
+    per micro-batch: open sessions must carry through state and the
+    final (latest-update-per-session) result must equal the
+    batch-global oracle."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tests.oracle_check import _normalize, duck_run
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev.filter(F.col("ts") < "2024-01-15").coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    time.sleep(1.1)  # file source orders batches by modification time
+    ev.filter(F.col("ts") >= "2024-01-15").coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+    files = sorted(
+        str(p) for b in ("batch1", "batch2") for p in (src / b).glob("*.parquet")
+    )
+    flat = src / "flat"
+    flat.mkdir()
+    for f in files:
+        os.link(f, flat / os.path.basename(f))
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(flat))
+    )
+    updates = jobs._drain_to_memory(
+        jobs.sessionize_stream(stream), spark, output_mode="update"
+    )
+    assert updates.count() > 0
+    # keep the latest update per session (n_events grows monotonically)
+    latest = (
+        updates.groupBy("user_id", "session_id")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+    want = _normalize(duck_run(jobs.ORACLE_SQL["stream_sessionize"], SF_DIR))
+    got = _normalize(latest.toPandas())
+    assert got.equals(want) or (
+        len(got) == len(want)
+        and all(got[c].tolist() == want[c].tolist() for c in got.columns)
+    )
