@@ -23,7 +23,6 @@ thing that cannot scale; this replaces it.
 from __future__ import annotations
 
 import math
-import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -117,31 +116,30 @@ def build_bloom(
     return BloomFilter(m_bits, k, acc)
 
 
-def bitmap_array_col(spark: SparkSession, bloom: BloomFilter) -> "F.Column":
-    """The bitmap as an ``array<bigint>`` scalar-subquery column.
+def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
+    """The bitmap as a ONE-ROW DataFrame ``(_bloom_arr array<bigint>)``.
 
-    The raw bytes travel driver→JVM as ONE binary blob (py4j literal
-    construction is O(n) round-trips and unusable beyond ~10^4
-    elements; a blob is one call).  A single-row subquery unpacks the
-    little-endian words JVM-side; the planner executes it once and the
-    probe expression references the materialized array — no Python
-    worker, no per-row copy, no broadcast-join row bloat."""
-    n_words = len(bloom.words)
-    view = f"bloom_bitmap_{uuid.uuid4().hex[:12]}"
-    raw_df = spark.createDataFrame(
-        [(bytearray(bloom.to_bytes()),)], "raw binary"
-    )
-    raw_df.selectExpr(
-        f"""
-        transform(sequence(0, {n_words - 1}), j ->
-          aggregate(sequence(0, 7), cast(0 as bigint), (acc, b) ->
-            acc + shiftleft(
-              cast(conv(hex(substring(raw, j * 8 + b + 1, 1)), 16, 10) as bigint),
-              b * 8))
-        ) as arr
-        """
-    ).createOrReplaceTempView(view)
-    return F.expr(f"(select arr from {view})")
+    The words ship driver→JVM through createDataFrame's pickle path —
+    one serialized batch, no py4j per-element round trips and NO SQL
+    unpacking.  (An earlier version shipped the raw bytes and unpacked
+    them with ``transform(...substring(raw, ...))``; each substring
+    call on an UnsafeRow re-copies the ENTIRE blob, so the unpack was
+    O(n_words × blob_size) ≈ 50 GB of memcpy at a 230 KB bitmap —
+    measured as nondeterministic 100-600 s single-core stalls,
+    depending on whether the optimizer happened to fold the expression
+    over a GenericInternalRow, where getBinary is copy-free, or an
+    executor evaluated it over an UnsafeRow.)
+
+    The bitmap must reach the probe as a broadcast-joined COLUMN, not
+    as a scalar subquery / literal: a folded literal array inlines
+    into the generated Java k times and Janino compile time explodes.
+    As a join-side attribute the generated code is a bound reference —
+    constant-size — and the array lives once in the broadcast, never
+    copied per row.  At true 10^10 scale the bitmap is sharded by hash
+    range (multiple rows keyed by shard, equi-joined on
+    ``hash % n_shards``) — same code path, more rows."""
+    words = np.asarray(bloom.words, dtype=np.uint64).view(np.int64).tolist()
+    return spark.createDataFrame([(words,)], "_bloom_arr array<bigint>")
 
 
 def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
@@ -168,10 +166,16 @@ def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
 def with_bloom_flag(
     spark: SparkSession, df: DataFrame, bloom: BloomFilter | None, col: str = "url_hash"
 ) -> DataFrame:
-    """Add ``_maybe_seen`` boolean via the JVM bitmap probe."""
+    """Add ``_maybe_seen`` boolean via the JVM bitmap probe.
+
+    The bitmap rides in as a broadcast single-row join (see
+    ``bitmap_df`` for why not a subquery/literal); the helper column
+    is dropped immediately so nothing downstream caches or shuffles
+    the array."""
     if bloom is None:
         return df.withColumn("_maybe_seen", F.lit(False))
-    arr = bitmap_array_col(spark, bloom)
-    return df.withColumn(
-        "_maybe_seen", bloom_probe_col(arr, bloom.m_bits, bloom.k, F.col(col))
-    )
+    probed = df.join(F.broadcast(bitmap_df(spark, bloom)))
+    return probed.withColumn(
+        "_maybe_seen",
+        bloom_probe_col(F.col("_bloom_arr"), bloom.m_bits, bloom.k, F.col(col)),
+    ).drop("_bloom_arr")

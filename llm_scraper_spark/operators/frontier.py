@@ -48,6 +48,7 @@ _FETCH_SCHEMA = (
 class RoundResult:
     fetched: DataFrame        # superset: url/spans/outlinks/slot/host/…
     blocked: DataFrame        # robots-blocked rows (url_hash, url, first_round)
+    deferred: DataFrame       # politeness-deferred rows (FRONTIER schema)
     fetch_log: DataFrame      # projection of fetched (FETCH_LOG schema)
     documents: DataFrame      # projection of fetched (doc_id, spans, round)
     seen_delta: DataFrame     # fetched ∪ blocked projections (SEEN schema)
@@ -156,13 +157,17 @@ def run_round(
     to_fetch = eligible.select(
         "url", "url_hash", "host", "priority", "depth", "slot"
     ).withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)))
-    # persisted: four outputs (log/documents/seen-delta/links) consume the
-    # fetch result; without caching the fetch kernel would run 4×
+    # NOT persisted: the driver writes this superset to its parquet
+    # snapshot exactly once and every other consumer derives from the
+    # WRITTEN snapshot (see Crawler.run).  Relying on .persist() for
+    # cross-output reuse was measured to re-execute the python fetch +
+    # canonicalize pipeline inside AQE broadcast-build jobs at higher
+    # core counts (cache reuse is best-effort; snapshot reads are
+    # structural).
     fetched = (
         to_fetch.repartition(fetch_partitions, F.col("host"), F.col("_salt"))
         .drop("_salt")
         .mapInPandas(_fetch_map, _FETCH_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     fetch_log = fetched_projections(fetched, round_no)["fetch_log"]
@@ -170,8 +175,38 @@ def run_round(
     seen_delta = fetched_projections(fetched, round_no)["seen_delta"].unionByName(
         blocked_seen
     )
+    next_frontier = deferred.unionByName(
+        frontier_delta(fetched, seen, seen_delta, deferred, round_no=round_no)
+    )
 
-    # --- W3: next frontier = canonicalized outlinks ⟕anti (seen∪delta∪deferred)
+    return RoundResult(
+        fetched=fetched.withColumn("round", F.lit(round_no)),
+        blocked=blocked_seen,
+        deferred=deferred,
+        fetch_log=fetch_log,
+        documents=documents,
+        seen_delta=seen_delta,
+        next_frontier=next_frontier,
+        metrics={"round": round_no},
+        _cached=[gated, slotted],
+    )
+
+
+def frontier_delta(
+    fetched: DataFrame,
+    seen: DataFrame,
+    seen_delta: DataFrame,
+    deferred: DataFrame,
+    *,
+    round_no: int,
+) -> DataFrame:
+    """W3: new frontier links = canonicalized outlinks of ``fetched``,
+    anti-joined against (seen ∪ this round's delta ∪ deferred).
+
+    ``fetched`` should be the round's WRITTEN parquet snapshot when
+    driving a real crawl (Crawler.run) so the fetch kernel provably
+    runs once; the lazy in-round DataFrame works too (tests).
+    """
     raw_links = fetched.select(
         F.col("doc_id").alias("base"), "depth", F.explode("outlinks").alias("raw")
     )
@@ -193,23 +228,11 @@ def run_round(
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("discovered_round", F.lit(round_no + 1))
     )
-    new_links = (
+    return (
         canon.join(seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         .join(seen_delta.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         .join(deferred.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         .select("url", "url_hash", "host", "priority", "depth", "discovered_round")
-    )
-    next_frontier = deferred.unionByName(new_links)
-
-    return RoundResult(
-        fetched=fetched.withColumn("round", F.lit(round_no)),
-        blocked=blocked_seen,
-        fetch_log=fetch_log,
-        documents=documents,
-        seen_delta=seen_delta,
-        next_frontier=next_frontier,
-        metrics={"round": round_no},
-        _cached=[gated, slotted, fetched],
     )
 
 

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions.urls import canonicalize_col, host_col, url_hash_col
-from ..operators.frontier import run_round
+from ..operators.frontier import frontier_delta, run_round
 
 
 def _manifest_path(workdir: str, r: int) -> str:
@@ -269,7 +269,24 @@ class Crawler:
                 self._p("blocked", f"r{r}.parquet")
             )
             _mark("write_blocked")
-            res.next_frontier.write.mode("overwrite").parquet(
+            # next frontier derives from the WRITTEN snapshot, not the
+            # in-round lineage: the python fetch provably runs once per
+            # round (in-memory cache reuse across separate write jobs
+            # is best-effort and was measured re-executing the fetch
+            # inside AQE broadcast builds), and a resume after this
+            # write recomputes the identical frontier
+            snap = self.spark.read.parquet(self._p("fetch", f"r{r}.parquet"))
+            snap_delta = snap.select(
+                "url_hash",
+                F.col("doc_id").alias("url"),
+                F.col("round").alias("first_round"),
+            ).unionByName(
+                self.spark.read.parquet(self._p("blocked", f"r{r}.parquet"))
+            )
+            next_frontier = res.deferred.unionByName(
+                frontier_delta(snap, seen, snap_delta, res.deferred, round_no=r)
+            )
+            next_frontier.write.mode("overwrite").parquet(
                 self._p("frontier", f"r{r + 1}.parquet")
             )
             _mark("write_next_frontier")

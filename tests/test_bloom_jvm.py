@@ -1,4 +1,4 @@
-"""JVM literal-bitmap Bloom probe ≡ the numpy probe, and Bloom
+"""JVM broadcast-bitmap Bloom probe ≡ the numpy probe, and Bloom
 correctness invariants (no false negatives)."""
 
 from __future__ import annotations
@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from llm_scraper_spark.functions.bloom import (
     BloomFilter,
-    bitmap_array_col,
     bloom_probe_col,
     build_bloom,
     with_bloom_flag,
@@ -25,12 +24,9 @@ def test_jvm_probe_matches_numpy(spark):
     bf.add(added.astype(np.uint64))
     want = bf.maybe_contains(probes.astype(np.uint64)).tolist()
     df = spark.createDataFrame([(int(h),) for h in probes], "url_hash long")
-    arr = bitmap_array_col(spark, bf)
     got = [
-        r["m"]
-        for r in df.select(
-            bloom_probe_col(arr, bf.m_bits, bf.k, F.col("url_hash")).alias("m")
-        ).collect()
+        r["_maybe_seen"]
+        for r in with_bloom_flag(spark, df, bf).collect()
     ]
     assert got == want
     # no false negatives: everything added must be flagged
