@@ -101,19 +101,25 @@ def run_round(
     # --- J3: frontier anti-join seen, Bloom-prefiltered ----------------
     if use_bloom and bloom is None and seen_count_estimate:
         bloom = build_bloom(seen, capacity=max(seen_count_estimate * 2, 4096))
+    # The seen set is unbounded (10^10 URLs at target scale): its
+    # anti-joins must be partitioned shuffle joins, never broadcast.
+    # Without the hint, AQE's size estimate under-costs the seen scan
+    # and builds a whole-seen-set in-heap HashedRelation — measured as
+    # full-GC storms (345 s GC in a 60 s stage) once seen passes ~10^6
+    # rows.  SHUFFLE_HASH (not MERGE): the per-partition build is
+    # small and skips the sort.
+    seen_keys = seen.select("url_hash", "url").hint("shuffle_hash")
     if use_bloom and bloom is not None:
         flagged = with_bloom_flag(spark, frontier, bloom)
         fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         maybe = (
             flagged.filter(F.col("_maybe_seen"))
             .drop("_maybe_seen")
-            .join(seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+            .join(seen_keys, ["url_hash", "url"], "left_anti")
         )
         candidates = fresh.unionByName(maybe)
     else:
-        candidates = frontier.join(
-            seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
-        )
+        candidates = frontier.join(seen_keys, ["url_hash", "url"], "left_anti")
 
     # --- robots gate (broadcast: robots is a per-host dim table) -------
     # regexp path extraction (codegen'd; url is already canonical)
@@ -228,10 +234,24 @@ def frontier_delta(
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("discovered_round", F.lit(round_no + 1))
     )
+    # shuffle_hash, not broadcast: every right side here scales with
+    # the crawl (see the seen-set note in run_round)
     return (
-        canon.join(seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
-        .join(seen_delta.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
-        .join(deferred.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        canon.join(
+            seen.select("url_hash", "url").hint("shuffle_hash"),
+            ["url_hash", "url"],
+            "left_anti",
+        )
+        .join(
+            seen_delta.select("url_hash", "url").hint("shuffle_hash"),
+            ["url_hash", "url"],
+            "left_anti",
+        )
+        .join(
+            deferred.select("url_hash", "url").hint("shuffle_hash"),
+            ["url_hash", "url"],
+            "left_anti",
+        )
         .select("url", "url_hash", "host", "priority", "depth", "discovered_round")
     )
 
