@@ -96,6 +96,7 @@ class Crawler:
         use_bloom: bool = True,
         fetch_partitions: int | None = None,
         bloom_capacity: int | None = None,
+        compact_every: int = 8,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -103,6 +104,9 @@ class Crawler:
         self.salt_buckets = salt_buckets
         self.use_bloom = use_bloom
         self.fetch_partitions = fetch_partitions
+        # rewrite the seen set as one base snapshot every N rounds
+        # (0/None disables); deltas since the base still union in
+        self.compact_every = compact_every
         # minimum capacity hint (e.g. expected crawl size); the actual
         # bitmap is sized adaptively from the committed seen count and
         # rebuilt at 4x when it fills, so tiny crawls get tiny bitmaps
@@ -133,21 +137,60 @@ class Crawler:
         ]
         return max(rounds, default=-1)
 
-    def _paths(self, sub: str, upto_round: int | None = None) -> list[str]:
+    def _paths(
+        self, sub: str, upto_round: int | None = None, after_round: int = -1
+    ) -> list[str]:
         last = self.last_committed_round() if upto_round is None else upto_round
         return [
             self._p(sub, f"r{i}.parquet")
-            for i in range(last + 1)
+            for i in range(after_round + 1, last + 1)
             if os.path.isdir(self._p(sub, f"r{i}.parquet"))
         ]
 
+    # ---- seen-set compaction -------------------------------------------
+    # Without compaction, seen_df unions one delta per round — at
+    # hundreds of rounds that is O(rounds) file listings per round and
+    # O(rounds²) over the crawl (the Iceberg analog is snapshot/manifest
+    # compaction).  Every ``compact_every`` rounds the union is
+    # rewritten as ONE base snapshot; seen_df then reads base + the
+    # few deltas since.  The compact write goes to a temp dir and is
+    # os.rename'd — atomic, so a crash mid-compaction leaves only a
+    # stale tmp dir that the next attempt overwrites.
+
+    def latest_compact_round(self, upto: int) -> int | None:
+        d = self._p("seen_compact")
+        if not os.path.isdir(d):
+            return None
+        rounds = [
+            int(f[1 : -len(".parquet")])
+            for f in os.listdir(d)
+            if f.startswith("r") and f.endswith(".parquet")
+        ]
+        rounds = [r for r in rounds if r <= upto]
+        return max(rounds, default=None)
+
+    def _compact_seen(self, r: int) -> None:
+        tmp = self._p("seen_compact", f"r{r}.parquet.tmp")
+        final = self._p("seen_compact", f"r{r}.parquet")
+        self.seen_df(r).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
     def seen_df(self, upto_round: int) -> DataFrame:
         """Seen set = fetched ∪ robots-blocked over committed rounds —
-        column projections of the per-round snapshots (parquet reads
-        only url_hash/url/round thanks to column pruning)."""
-        fetch_paths = self._paths("fetch", upto_round)
-        blocked_paths = self._paths("blocked", upto_round)
+        a compacted base snapshot (if one exists) plus the per-round
+        delta projections since it (parquet reads only
+        url_hash/url/round thanks to column pruning)."""
+        base_round = self.latest_compact_round(upto_round)
+        after = base_round if base_round is not None else -1
+        fetch_paths = self._paths("fetch", upto_round, after_round=after)
+        blocked_paths = self._paths("blocked", upto_round, after_round=after)
         parts = []
+        if base_round is not None:
+            parts.append(
+                self.spark.read.parquet(
+                    self._p("seen_compact", f"r{base_round}.parquet")
+                )
+            )
         if fetch_paths:
             parts.append(
                 self.spark.read.parquet(*fetch_paths).select(
@@ -329,6 +372,10 @@ class Crawler:
             manifests.append(manifest)
             self._bloom_absorb(r, seen_rows)
             res.unpersist()
+            if self.compact_every:
+                base = self.latest_compact_round(r)
+                if r - (base if base is not None else -1) >= self.compact_every:
+                    self._compact_seen(r)
             if next_frontier_rows == 0:
                 break
         return manifests
