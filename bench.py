@@ -61,6 +61,18 @@ def bench_queries() -> dict[str, float]:
     return timings
 
 
+def _last_json_line(proc: subprocess.CompletedProcess, what: str) -> dict:
+    """Parse the child's ONE JSON line; fail loudly on a crashed child
+    instead of letting a broken build sail through the bench gate."""
+    json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not json_lines:
+        raise RuntimeError(
+            f"{what} subprocess failed (rc={proc.returncode}); "
+            f"stderr tail: {proc.stderr[-2000:]}"
+        )
+    return json.loads(json_lines[-1])
+
+
 def _run_queries_subprocess() -> dict[str, float]:
     """Query timings in a child process so the (16 GiB-heap) JVM is
     fully gone before the crawl-scaling subprocesses run — a lingering
@@ -72,45 +84,59 @@ def _run_queries_subprocess() -> dict[str, float]:
         cwd=REPO,
         timeout=1800,
     )
-    json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-    return json.loads(json_lines[-1]) if json_lines else {}
+    return _last_json_line(proc, "queries")
 
 
 def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
+    """One crawl level, CPU-pinned to exactly ``cores`` physical CPUs.
+
+    The pinning (taskset) is what makes the two-cluster-size comparison
+    honest on one box: an unpinned local[1] JVM still gets the host's
+    other 31 CPUs for GC, JIT compilation, and the python fetch workers
+    (which are separate processes), silently inflating the small-level
+    throughput and deflating measured scaling efficiency.  Pinned, each
+    level owns exactly N CPUs for JVM + GC + python workers — the
+    same resource envelope an N-executor cluster node set would have.
+    """
+    cmd = [
+        sys.executable,
+        "-m",
+        "llm_scraper_spark.bench_crawl",
+        "--cores",
+        str(cores),
+        "--seeds",
+        seeds,
+        "--rounds",
+        "2",
+    ]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
     proc = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "llm_scraper_spark.bench_crawl",
-            "--cores",
-            str(cores),
-            "--seeds",
-            seeds,
-            "--rounds",
-            "2",
-        ],
+        cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
         timeout=1800,
     )
-    json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-    return json.loads(json_lines[-1]) if json_lines else {}
+    return _last_json_line(proc, f"crawl[{cores}]")
 
 
 def bench_crawl_scaling() -> dict:
     """N vs 4N cores on the same input.
 
     Measurement protocol (measured curve + rationale in BASELINE.md):
-    this Firecracker microVM advertises 32 vCPUs but JVM throughput
-    saturates at ~17k URLs/s beyond ~4-8 threads (memory-bandwidth /
-    guest-scheduling ceiling — a pure-CPU matmul probe scales to ~20
-    effective cores, the Spark JVM does not).  The 4x-resources
-    criterion is therefore evidenced on the N=1 → 4N=4 pair (both
-    levels fully hardware-backed: measured 1→4 efficiency 0.81 at
-    10^6 seeds), interleaved A/B/A/B with best-of-2 per level to ride
-    out hypervisor steal bursts; a single 32-core run is reported as
-    the absolute-throughput point.
+    - Each level is CPU-pinned to exactly N physical CPUs (taskset) so
+      the small level cannot borrow spare host CPUs for GC/JIT/python
+      workers (see _run_crawl_subprocess).
+    - Throughput per level = steady-state (round ≥ 1); round 0 is the
+      JIT/worker warm-up round, reported but excluded — a production
+      crawl runs hundreds of rounds, so steady-state is what scales.
+    - The 4x-resources criterion is evidenced on the N=1 → 4N=4 pair
+      (both levels fully hardware-backed; this Firecracker microVM
+      advertises 32 vCPUs but sustains ~20 effective cores and the
+      JVM saturates ~17k URLs/s beyond 4-8 threads), interleaved
+      A/B/A/B with best-of-2 per level to ride out hypervisor steal
+      bursts; a single 32-core run is the absolute-throughput point.
     """
     out: dict = {"runs": []}
     n_small, n_big = 1, 4
@@ -121,12 +147,16 @@ def bench_crawl_scaling() -> dict:
             r = _run_crawl_subprocess(cores, seeds)
             r["cores"] = cores
             out["runs"].append(r)
-            thr = r.get("urls_per_sec") or 0.0
+            thr = r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
             best[cores] = max(best[cores], thr)
     r32 = _run_crawl_subprocess(CPUS, seeds)
     r32["cores"] = CPUS
     out["runs"].append(r32)
-    out[f"cores_{CPUS}"] = {"urls_per_sec": r32.get("urls_per_sec") or 0.0}
+    out[f"cores_{CPUS}"] = {
+        "urls_per_sec": r32.get("steady_urls_per_sec")
+        or r32.get("urls_per_sec")
+        or 0.0
+    }
     out[f"cores_{n_small}"] = {"urls_per_sec": best[n_small]}
     out[f"cores_{n_big}"] = {"urls_per_sec": best[n_big]}
     out["speedup"] = (

@@ -39,6 +39,15 @@ def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
         fetched = sum(m["fetched"] for m in manifests)
         deduped = sum(m["seen_delta"] for m in manifests)
         elapsed = sum(m["elapsed_sec"] for m in manifests)
+        # Steady-state throughput: rounds after the first.  Round 0 is
+        # the JIT/worker warm-up round (whole-stage codegen compilation,
+        # python worker pool spin-up, page-cache priming) — a real crawl
+        # runs hundreds of rounds, so steady-state is the
+        # representative per-round figure; the warm-up round is still
+        # reported in rounds_detail and in the all-rounds totals.
+        steady = [m for m in manifests[1:]] or manifests
+        s_fetched = sum(m["fetched"] for m in steady)
+        s_elapsed = sum(m["elapsed_sec"] for m in steady)
         return {
             "cores": cores,
             "rounds": len(manifests),
@@ -46,6 +55,21 @@ def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
             "seen_delta": deduped,
             "elapsed_sec": round(elapsed, 3),
             "urls_per_sec": round(fetched / elapsed, 2) if elapsed else None,
+            "steady_fetched": s_fetched,
+            "steady_elapsed_sec": round(s_elapsed, 3),
+            "steady_urls_per_sec": (
+                round(s_fetched / s_elapsed, 2) if s_elapsed else None
+            ),
+            # per-round phase evidence for the scaling criterion audit
+            "rounds_detail": [
+                {
+                    "round": m["round"],
+                    "fetched": m["fetched"],
+                    "elapsed_sec": m["elapsed_sec"],
+                    "phase_sec": m["phase_sec"],
+                }
+                for m in manifests
+            ],
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -119,16 +119,15 @@ def build_bloom(
 def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     """The bitmap as a ONE-ROW DataFrame ``(_bloom_arr array<bigint>)``.
 
-    The words ship driver→JVM through createDataFrame's pickle path —
-    one serialized batch, no py4j per-element round trips and NO SQL
-    unpacking.  (An earlier version shipped the raw bytes and unpacked
-    them with ``transform(...substring(raw, ...))``; each substring
-    call on an UnsafeRow re-copies the ENTIRE blob, so the unpack was
-    O(n_words × blob_size) ≈ 50 GB of memcpy at a 230 KB bitmap —
-    measured as nondeterministic 100-600 s single-core stalls,
-    depending on whether the optimizer happened to fold the expression
-    over a GenericInternalRow, where getBinary is copy-free, or an
-    executor evaluated it over an UnsafeRow.)
+    The words ship driver→JVM as a tiny parquet file written with
+    pyarrow and read back by Spark — one mmap'd columnar batch.  (Two
+    earlier versions were measured pathological: raw bytes unpacked
+    with ``transform(...substring(raw, ...))`` re-copies the ENTIRE
+    blob per element on UnsafeRows — O(n_words × blob_size) ≈ 50 GB of
+    memcpy at a 230 KB bitmap; and createDataFrame's pickle path costs
+    4-9 s of serial driver time per round at a 3 MB bitmap, which at
+    two measured cluster sizes shows up directly as lost scaling
+    efficiency.)
 
     The bitmap must reach the probe as a broadcast-joined COLUMN, not
     as a scalar subquery / literal: a folded literal array inlines
@@ -138,8 +137,19 @@ def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     copied per row.  At true 10^10 scale the bitmap is sharded by hash
     range (multiple rows keyed by shard, equi-joined on
     ``hash % n_shards``) — same code path, more rows."""
-    words = np.asarray(bloom.words, dtype=np.uint64).view(np.int64).tolist()
-    return spark.createDataFrame([(words,)], "_bloom_arr array<bigint>")
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = np.asarray(bloom.words, dtype=np.uint64).view(np.int64)
+    arr = pa.array([words], type=pa.list_(pa.int64()))
+    table = pa.Table.from_arrays([arr], names=["_bloom_arr"])
+    fd, path = tempfile.mkstemp(suffix=".parquet", prefix="bloom_bitmap_")
+    os.close(fd)
+    pq.write_table(table, path, compression="snappy")
+    return spark.read.schema("_bloom_arr array<bigint>").parquet(path)
 
 
 def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":

@@ -130,12 +130,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle cost is O(docs × bands), never O(docs²); verification
     joins only bucket collisions — the 100 TB-safe plan.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = _shingles(_augmented(spark, sf_dir))
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"mh{b}")
-            for b in range(N_MINHASH)
-        ]
+    # persisted for the same reason as the simhash signature table: the
+    # band union (4 branches) self-joined (×2 sides) would re-run the
+    # shingle-hash aggregate 8× otherwise; one short row per doc.
+    minh = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"mh{b}")
+                for b in range(N_MINHASH)
+            ]
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = None
     for band in range(N_MINHASH // 2):
@@ -224,38 +233,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- simhash
+#: 15-bit accumulator lanes: lane-group g holds bits {g, g+15, g+30,
+#: g+45} of the token hash, each already spaced 15 bits apart, so ONE
+#: ``(h >> g) & _LANE_MASK`` extracts all four — no per-bit when/case.
+_LANE_SPACING = 15
+_LANE_GROUPS = 15
+_LANE_MASK = (1) | (1 << 15) | (1 << 30) | (1 << 45)
+
+
 def _simhash_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit simhash per doc, entirely JVM-side.
 
-    Plan shape matters at scale: instead of exploding 60 bit-rows per
-    token (docs × tokens × 60 rows through a shuffle), each (doc,
-    token) row carries 60 ±1 columns and ONE hash-aggregate computes
-    all 60 majority sums — partial (map-side) aggregation shrinks the
-    shuffle to one 60-int row per doc per map partition."""
+    Plan shape matters at scale.  Naive simhash explodes 60 bit-rows
+    per token (docs × tokens × 60 rows through a shuffle); the first
+    cut here used 60 ±1 columns + 60 ``sum()`` aggregates, which was
+    47% of the whole headline suite.  This version exploits
+    ``c_b = 2·s_b − n`` (each token adds ±1, so the signed majority
+    sum is recoverable from the *set-bit count* ``s_b`` and the token
+    count ``n``) and packs the 60 set-bit counters into 15 longs with
+    four 15-bit lanes each: per (doc, token) row the work is one
+    shift+mask per lane group (30 bit-ops, no branches), and the hash
+    aggregate carries 15 longs + 1 count instead of 60 wide sums —
+    map-side partial agg still shrinks the shuffle to one row per doc
+    per map partition.  Lanes overflow only past 2^15−1 = 32767
+    distinct tokens in one document; corpora with longer docs raise
+    ``_LANE_SPACING`` to 20 (3 lanes × 20 groups) — same code path.
+
+    Majority rule ``c_b > 0`` becomes ``2·s_b > n`` (exact, including
+    the tie case: c_b = 0 ⇔ 2·s_b = n ⇒ bit 0 in both forms).
+    Tokens are deduped on their 60-bit hash (not the string) so the
+    distinct shuffles 8-byte keys; the DuckDB twin dedups on the same
+    hash expression, keeping both engines in lockstep."""
     aug = _augmented(spark, sf_dir)
+    h = F.expr("cast(conv(substr(md5(w),1,15),16,10) as bigint)")
     toks = (
         aug.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
+        .select("doc_id", h.alias("h"))
         .distinct()
     )
-    h = F.expr("cast(conv(substr(md5(w),1,15),16,10) as bigint)")
-    bit_cols = [
-        F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+    lane_cols = [
+        F.shiftright(F.col("h"), g).bitwiseAND(F.lit(_LANE_MASK)).alias(f"l{g}")
+        for g in range(_LANE_GROUPS)
     ]
-    wide = toks.select("doc_id", h.alias("h")).select("doc_id", *bit_cols)
-    agg = wide.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"c{b}") for b in range(SIMHASH_BITS)]
+    agg = (
+        toks.select("doc_id", *lane_cols)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"l{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
+        )
     )
+    lane_max = (1 << _LANE_SPACING) - 1
     packed = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+        g, j = b % _LANE_GROUPS, b // _LANE_GROUPS
+        s_b = F.shiftright(F.col(f"s{g}"), _LANE_SPACING * j).bitwiseAND(
+            F.lit(lane_max)
+        )
+        term = F.when(s_b * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         packed = term if packed is None else packed + term
-    return agg.select("doc_id", packed.alias("simhash"))
+    # persisted: the banded pair join reads the signature table from
+    # EIGHT plan branches (4 band projections × 2 self-join sides), and
+    # Catalyst does not dedupe common subtrees across a union — without
+    # the persist the whole token-aggregate pipeline re-executes per
+    # branch (measured 8-10 s of redundant work at sf0.1).  One 16-byte
+    # row per doc: tiny at any scale.
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        agg.select("doc_id", packed.alias("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,36 +316,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×15-bit band bucket join, then hamming
-    ≤ HAMMING_MAX verification via bit_count(xor)."""
+    ≤ HAMMING_MAX verification via bit_count(xor).
+
+    A pair sharing k band buckets comes out of the banded self-join k
+    times; instead of a multi-million-row ``distinct()`` shuffle, each
+    joined row is kept only when its band is the FIRST matching band —
+    decidable row-locally from the two signatures already in the row
+    (band j matches ⇔ ``((sh_a ^ sh_b) >> 15j) & 0x7FFF = 0``), so the
+    dedup is a codegen filter with zero shuffle.  The hamming cut is
+    applied in the same filter, before anything else moves."""
     sig = _simhash_col(spark, sf_dir)
     bands = None
     for band in range(4):
         key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
         b = sig.select("doc_id", "simhash", F.lit(band).alias("band"), key.alias("bkey"))
         bands = b if bands is None else bands.unionByName(b)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # keep the row iff no band EARLIER than this row's band also
+    # matches: for every j < band, the xor's 15-bit slice j is nonzero
+    # (vacuously true via band <= j for j >= band)
+    first_match = None
+    for j in range(3):
+        no_match_j = (
+            F.shiftright(xor, j * 15).bitwiseAND(F.lit((1 << 15) - 1)) != 0
         )
+        cond = (F.col("a.band") <= j) | no_match_j
+        first_match = cond if first_match is None else first_match & cond
+    return (
+        joined.filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-            .cast("long")
-            .alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
@@ -364,14 +423,14 @@ ORACLE_SQL = {
     "dedup_simhash": f"""
         WITH {_AUG_SQL},
         toks AS (
-          SELECT DISTINCT doc_id, w FROM (
+          SELECT DISTINCT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug
           ) WHERE w <> ''
         ),
         bits AS (
-          SELECT doc_id,
-                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h,
-                 unnest(range(0, {SIMHASH_BITS})) AS bit
+          SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS bit
           FROM toks
         ),
         contrib AS (
@@ -386,14 +445,14 @@ ORACLE_SQL = {
     "dedup_simhash_pairs": f"""
         WITH {_AUG_SQL},
         toks AS (
-          SELECT DISTINCT doc_id, w FROM (
+          SELECT DISTINCT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug
           ) WHERE w <> ''
         ),
         bits AS (
-          SELECT doc_id,
-                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h,
-                 unnest(range(0, {SIMHASH_BITS})) AS bit
+          SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS bit
           FROM toks
         ),
         contrib AS (

@@ -94,6 +94,19 @@ def run_round(
     ``salt_buckets``: the hot-host skew defense — fetch partitioning is
     on (host, salt) where salt = url_hash % salt_buckets, so one hot
     host spreads over ``salt_buckets`` partitions instead of one.
+
+    Materialization contract: the returned DataFrames share NO
+    persisted fetch result — ``fetched`` and every projection of it
+    (fetch_log/documents/seen_delta/next_frontier) re-executes the
+    Python fetch kernel when independently materialized.  This is
+    deliberate: ``Crawler.run`` writes ``fetched`` to its parquet
+    snapshot exactly once and derives every other output from the
+    WRITTEN snapshot, which is both crash-consistent and cheaper than
+    .persist() (AQE broadcast builds were measured re-executing a
+    persisted fetch on cache miss).  Library callers that materialize
+    more than one output directly must do the same: write ``fetched``
+    once, then derive — correctness survives re-execution only because
+    the synthetic fetch is deterministic.
     """
     if fetch_partitions is None:
         fetch_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -143,26 +156,49 @@ def run_round(
     )
     allowed = gated.filter(~F.col("_blocked"))
 
-    # --- W2: per-host politeness slots ---------------------------------
+    # --- W2: per-host politeness slots (two-phase, skew-balanced) ------
+    # A single Window.partitionBy(host) puts a hot host's ENTIRE
+    # frontier share (25% of rows on the bench web) into one task — at
+    # high core counts that straggler serializes the round.  Ranking is
+    # therefore two-phase: (1) rank within (host, salt) — balanced by
+    # construction — and keep only local rank ≤ budget (a row whose
+    # global per-host rank ≤ budget has local rank ≤ budget a fortiori,
+    # so no eligible row is lost); (2) re-rank the ≤ salt_buckets×budget
+    # survivors per host globally.  For every row with final slot ≤
+    # budget all globally-ahead rows also survive phase 1, so the slot
+    # numbers of eligible rows are identical to the one-phase window's
+    # (crawl-ordering equality is unaffected; deferred rows need no
+    # slot).  Phase-2 input per host is capped, so the skew is gone.
     delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
     budget = F.greatest(F.lit(1), F.floor(F.lit(budget_ms) / delay)).cast("int")
+    w_local = Window.partitionBy("host", "_salt").orderBy("priority", "url_hash")
+    # persisted: the survivor and locally-deferred splits both read this
+    pre = (
+        allowed.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)))
+        .withColumn("_budget", budget)
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    defer_local = pre.filter(F.col("_lrank") > F.col("_budget"))
     w = Window.partitionBy("host").orderBy("priority", "url_hash")
     # persisted: both the eligible and deferred splits read this, and the
     # window shuffle should run once per round
     slotted = (
-        allowed.withColumn("slot", F.row_number().over(w))
-        .withColumn("_budget", budget)
+        pre.filter(F.col("_lrank") <= F.col("_budget"))
+        .withColumn("slot", F.row_number().over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     eligible = slotted.filter(F.col("slot") <= F.col("_budget"))
-    deferred = slotted.filter(F.col("slot") > F.col("_budget")).select(
-        "url", "url_hash", "host", "priority", "depth", "discovered_round"
+    deferred = (
+        slotted.filter(F.col("slot") > F.col("_budget"))
+        .unionByName(defer_local.withColumn("slot", F.lit(None).cast("int")))
+        .select("url", "url_hash", "host", "priority", "depth", "discovered_round")
     )
 
     # --- fetch: salted host-hash repartition → Arrow fetch kernel ------
     to_fetch = eligible.select(
-        "url", "url_hash", "host", "priority", "depth", "slot"
-    ).withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)))
+        "url", "url_hash", "host", "priority", "depth", "slot", "_salt"
+    )
     # NOT persisted: the driver writes this superset to its parquet
     # snapshot exactly once and every other consumer derives from the
     # WRITTEN snapshot (see Crawler.run).  Relying on .persist() for
@@ -194,7 +230,7 @@ def run_round(
         seen_delta=seen_delta,
         next_frontier=next_frontier,
         metrics={"round": round_no},
-        _cached=[gated, slotted],
+        _cached=[gated, pre, slotted],
     )
 
 
@@ -234,26 +270,20 @@ def frontier_delta(
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("discovered_round", F.lit(round_no + 1))
     )
-    # shuffle_hash, not broadcast: every right side here scales with
-    # the crawl (see the seen-set note in run_round)
-    return (
-        canon.join(
-            seen.select("url_hash", "url").hint("shuffle_hash"),
-            ["url_hash", "url"],
-            "left_anti",
-        )
-        .join(
-            seen_delta.select("url_hash", "url").hint("shuffle_hash"),
-            ["url_hash", "url"],
-            "left_anti",
-        )
-        .join(
-            deferred.select("url_hash", "url").hint("shuffle_hash"),
-            ["url_hash", "url"],
-            "left_anti",
-        )
-        .select("url", "url_hash", "host", "priority", "depth", "discovered_round")
+    # ONE anti-join against the union of all known URLs, not three
+    # chained ones: each chained join re-shuffles the (wide) canon side,
+    # so folding the right sides into a single union removes two full
+    # shuffles of the link set per round.  shuffle_hash, not broadcast:
+    # every right side here scales with the crawl (see the seen-set
+    # note in run_round).
+    known = (
+        seen.select("url_hash", "url")
+        .unionByName(seen_delta.select("url_hash", "url"))
+        .unionByName(deferred.select("url_hash", "url"))
     )
+    return canon.join(
+        known.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
+    ).select("url", "url_hash", "host", "priority", "depth", "discovered_round")
 
 
 def fetched_projections(fetched: DataFrame, round_no: int) -> dict[str, DataFrame]:

@@ -56,12 +56,21 @@ def build_kg(triplets: DataFrame) -> tuple[DataFrame, DataFrame]:
         "weight",
     ).dropDuplicates(["src_key", "dst_key", "relationship"])
     # endpoint-existence validation joins (J2) — semantically the
-    # insert-time lookups; broadcast the vertex dim
+    # insert-time lookups (reference db.py:91-95).  shuffle_hash, NOT
+    # broadcast: the vertex set grows with the corpus (billions of keys
+    # at 10^10 docs), so an explicit broadcast hint — which Catalyst
+    # obeys unconditionally — is a driver/executor OOM at scale; a
+    # shuffle-hash semi-join on the key is linear and co-partitioned
+    # with the second lookup.
     v_keys = vertices.select("key")
     edges = edges.join(
-        F.broadcast(v_keys).withColumnRenamed("key", "src_key"), "src_key", "left_semi"
+        v_keys.withColumnRenamed("key", "src_key").hint("shuffle_hash"),
+        "src_key",
+        "left_semi",
     ).join(
-        F.broadcast(v_keys).withColumnRenamed("key", "dst_key"), "dst_key", "left_semi"
+        v_keys.withColumnRenamed("key", "dst_key").hint("shuffle_hash"),
+        "dst_key",
+        "left_semi",
     )
     return vertices, edges
 

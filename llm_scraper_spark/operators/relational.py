@@ -193,12 +193,17 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def j3_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier⟕anti seen (extract_product_urls.py:39-41): orders whose
-    customer is NOT in the 'seen' set (negative-balance customers)."""
+    customer is NOT in the 'seen' set (negative-balance customers).
+
+    shuffle_hash, not broadcast: this query is the named demonstrator
+    of the J3 frontier⟕seen shape, and a seen set is unbounded — it
+    must teach the same plan the real crawl path uses
+    (frontier.py seen-set anti-joins), not the broadcast anti-pattern."""
     orders = _t(spark, sf_dir, "orders")
     seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
     return (
         orders.join(
-            F.broadcast(seen.select("c_custkey")),
+            seen.select("c_custkey").hint("shuffle_hash"),
             orders.o_custkey == F.col("c_custkey"),
             "left_anti",
         )

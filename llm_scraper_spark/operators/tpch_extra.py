@@ -188,8 +188,13 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ Q18
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a grouped fact (sum qty > 200),
-    joined back to orders+customer, top-100 by totalprice.  The HAVING
-    set is small → broadcast back against the facts."""
+    joined back to orders+customer, top-100 by totalprice.
+
+    The HAVING set scales linearly with lineitem, so it is NOT
+    broadcast (100 TB OOM); shuffle_hash keeps the join linear and
+    skips the sort a merge join would add.  customer also scales with
+    the corpus — no hint; AQE picks broadcast only if the runtime size
+    is actually small."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -203,8 +208,8 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == F.col("big_orderkey"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big.hint("shuffle_hash"), orders.o_orderkey == F.col("big_orderkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             "total_qty",

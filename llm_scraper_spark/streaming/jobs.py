@@ -129,6 +129,13 @@ def _sessionize_fn(key, pdf_iter, state):
 
     if state.exists:
         last_ts, sess_id, sess_start, n_events = state.get
+        # late-data policy: an event older than the state's last seen
+        # timestamp would rewind last_ts and falsely split/merge
+        # sessions; drop strictly-late events (the stateful analog of a
+        # watermark — equal timestamps still fold into the open session)
+        ts_us = ts_us[ts_us >= last_ts]
+        if ts_us.empty:
+            return
     else:
         last_ts, sess_id, sess_start, n_events = None, 0, None, 0
 
