@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from llm_scraper_spark.operators import (
     dedup,
+    htmltables,
     multimodal,
     reference_parity,
     relational,
@@ -42,6 +43,7 @@ _MODULES = (
     similarity,
     textstats,
     multimodal,
+    htmltables,
     streaming_jobs,
 )
 

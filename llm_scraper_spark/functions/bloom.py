@@ -86,34 +86,88 @@ class BloomFilter:
         return cls(m_bits, k, np.frombuffer(raw, dtype=np.uint64).copy())
 
 
+@dataclass
+class ShardedBloom:
+    """Hash-range-sharded Bloom filter: shard ``url_hash % n_shards``
+    owns its own independent bitmap.  At 10^10 URLs / 1% fpp the
+    monolithic bitmap is ~1.4 GiB — too big to rebuild, ship, and
+    broadcast as one blob; sharded, each row of ``bitmap_df`` carries
+    one shard and the probe equi-joins on the shard key, so executors
+    hash-route to exactly the rows they need and shard count scales
+    the design without changing the probe code path."""
+
+    n_shards: int
+    shards: list[BloomFilter]  # index = url_hash % n_shards
+
+    @property
+    def m_bits(self) -> int:
+        return self.shards[0].m_bits
+
+    @property
+    def k(self) -> int:
+        return self.shards[0].k
+
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Pure-Python probe (test oracle): route each hash to its
+        shard, probe there."""
+        hs = np.asarray(hashes, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=bool)
+        sid = hs % np.uint64(self.n_shards)
+        for s in range(self.n_shards):
+            m = sid == s
+            if m.any():
+                out[m] = self.shards[s].maybe_contains(hs[m])
+        return out
+
+
 def build_bloom(
-    seen: DataFrame, capacity: int, fpp: float = 0.01
-) -> BloomFilter | None:
+    seen: DataFrame, capacity: int, fpp: float = 0.01, shards: int = 1
+) -> "BloomFilter | ShardedBloom | None":
     """Distributed build: per-partition bitmaps OR'd on the driver.
 
-    Driver memory = one bitmap (~1.2 MB per 10^6 capacity at 1% fpp),
-    independent of seen-set cardinality.
+    Driver memory = one bitmap set (~1.2 MB per 10^6 capacity at 1%
+    fpp), independent of seen-set cardinality.  ``shards`` > 1 splits
+    the filter by hash range (see ``ShardedBloom``); each map task
+    folds its rows into per-shard local bitmaps so the build stays one
+    pass either way.
     """
-    proto = BloomFilter.empty(capacity, fpp)
+    shards = max(1, shards)
+    proto = BloomFilter.empty(-(-capacity // shards), fpp)
     m_bits, k = proto.m_bits, proto.k
 
     def fold(batches):
-        bf = BloomFilter.empty(capacity, fpp)
-        any_rows = False
+        bfs = [BloomFilter(m_bits, k, np.zeros(m_bits // 64, dtype=np.uint64))
+               for _ in range(shards)]
+        touched = set()
         for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                bf.add(pdf["url_hash"].to_numpy(dtype=np.uint64))
-        if any_rows:
-            yield pd.DataFrame({"bitmap": [bf.to_bytes()]})
+            if not len(pdf):
+                continue
+            hs = pdf["url_hash"].to_numpy(dtype=np.uint64)
+            sid = hs % np.uint64(shards)
+            for s in np.unique(sid):
+                bfs[int(s)].add(hs[sid == s])
+                touched.add(int(s))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "shard": sorted(touched),
+                    "bitmap": [bfs[s].to_bytes() for s in sorted(touched)],
+                }
+            )
 
-    parts = seen.select("url_hash").mapInPandas(fold, "bitmap binary").collect()
+    parts = (
+        seen.select("url_hash")
+        .mapInPandas(fold, "shard int, bitmap binary")
+        .collect()
+    )
     if not parts:
         return None
-    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    accs = [np.zeros(m_bits // 64, dtype=np.uint64) for _ in range(shards)]
     for row in parts:
-        acc |= np.frombuffer(row["bitmap"], dtype=np.uint64)
-    return BloomFilter(m_bits, k, acc)
+        accs[row["shard"]] |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    if shards == 1:
+        return BloomFilter(m_bits, k, accs[0])
+    return ShardedBloom(shards, [BloomFilter(m_bits, k, a) for a in accs])
 
 
 def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
@@ -152,6 +206,30 @@ def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     return spark.read.schema("_bloom_arr array<bigint>").parquet(path)
 
 
+def sharded_bitmap_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
+    """All shard bitmaps as ``(_bloom_shard bigint, _bloom_arr
+    array<bigint>)`` — one row per shard, same parquet ship path as
+    ``bitmap_df``; the probe equi-joins on the shard key."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shard_ids = pa.array(range(bloom.n_shards), type=pa.int64())
+    arrs = pa.array(
+        [np.asarray(s.words, dtype=np.uint64).view(np.int64) for s in bloom.shards],
+        type=pa.list_(pa.int64()),
+    )
+    table = pa.Table.from_arrays([shard_ids, arrs], names=["_bloom_shard", "_bloom_arr"])
+    fd, path = tempfile.mkstemp(suffix=".parquet", prefix="bloom_shards_")
+    os.close(fd)
+    pq.write_table(table, path, compression="snappy")
+    return spark.read.schema(
+        "_bloom_shard bigint, _bloom_arr array<bigint>"
+    ).parquet(path)
+
+
 def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
     """JVM-side Bloom probe over an ``array<bigint>`` bitmap column:
     k shift/xor/mask probes + element_at/getbit — whole-stage-
@@ -174,16 +252,36 @@ def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
 
 
 def with_bloom_flag(
-    spark: SparkSession, df: DataFrame, bloom: BloomFilter | None, col: str = "url_hash"
+    spark: SparkSession,
+    df: DataFrame,
+    bloom: "BloomFilter | ShardedBloom | None",
+    col: str = "url_hash",
 ) -> DataFrame:
     """Add ``_maybe_seen`` boolean via the JVM bitmap probe.
 
-    The bitmap rides in as a broadcast single-row join (see
-    ``bitmap_df`` for why not a subquery/literal); the helper column
-    is dropped immediately so nothing downstream caches or shuffles
-    the array."""
+    The bitmap rides in as a broadcast join (see ``bitmap_df`` for why
+    not a subquery/literal); the helper columns are dropped immediately
+    so nothing downstream caches or shuffles the array.  A
+    ``ShardedBloom`` broadcast-equi-joins each row to its hash-range
+    shard instead — same probe expression, per-shard bitmap."""
     if bloom is None:
         return df.withColumn("_maybe_seen", F.lit(False))
+    if isinstance(bloom, ShardedBloom):
+        shards_df = F.broadcast(sharded_bitmap_df(spark, bloom))
+        probed = df.join(
+            shards_df,
+            F.pmod(F.col(col), F.lit(bloom.n_shards)) == F.col("_bloom_shard"),
+            "left",
+        )
+        return (
+            probed.withColumn(
+                "_maybe_seen",
+                bloom_probe_col(
+                    F.col("_bloom_arr"), bloom.m_bits, bloom.k, F.col(col)
+                ),
+            )
+            .drop("_bloom_arr", "_bloom_shard")
+        )
     probed = df.join(F.broadcast(bitmap_df(spark, bloom)))
     return probed.withColumn(
         "_maybe_seen",

@@ -101,6 +101,95 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_dataurl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: base64 data-URL decode (media_downloader.py:15-24 — split
+    the ``data:<mime>;base64,<payload>`` URL on the first comma, mime
+    from the header, extension from the mime, b64-decode the payload).
+    The data-URL column is synthesized deterministically from the doc
+    text (same CTE in the DuckDB twin); decode runs entirely JVM-side
+    (``unbase64``), payload identity is checked via its hex string."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    du = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("data:"), mime, F.lit(";base64,"),
+            F.base64(F.unhex(F.md5(F.col("text")))),
+        ).alias("data_url"),
+    )
+    header = F.substring_index(F.col("data_url"), ",", 1)
+    b64 = F.substring_index(F.col("data_url"), ",", -1)
+    mime_type = F.substring_index(F.substring_index(header, ":", -1), ";", 1)
+    payload = F.unbase64(b64)
+    return (
+        du.select(
+            "doc_id",
+            mime_type.alias("mime_type"),
+            F.substring_index(mime_type, "/", -1).alias("extension"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.hex(payload).alias("payload_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: deterministic classify thresholds over the stub decode metadata
+#: (image_analysis.py:15 CLASSIFICATIONS; decision order matches the
+#: reference: UNRENDERED is checked first, then LOGO, else DETAILED)
+_UNRENDERED_MAX_PIXELS = 128 * 128
+
+
+def _classification_col():
+    width = 64 + F.expr("cast(conv(substr(md5(text),1,2),16,10) as int)")
+    height = 64 + F.expr("cast(conv(substr(md5(text),3,2),16,10) as int)")
+    channels = 1 + F.expr("cast(conv(substr(md5(text),5,2),16,10) as int)") % 3
+    return (
+        F.when(width * height < _UNRENDERED_MAX_PIXELS, F.lit("UNRENDERED"))
+        .when(channels == 1, F.lit("LOGO"))
+        .otherwise(F.lit("DETAILED"))
+    )
+
+
+def mm_image_gate_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image classify gate → entity path: classify every payload as
+    UNRENDERED / LOGO / DETAILED (image_analysis.py:19-124), and ONLY
+    DETAILED images flow into entity extraction
+    (scrape_eccomerce.py:222-229 image→entities branch; the doc text
+    stands in for the image summary, distinct words for the extracted
+    entity set, as in a11_entity_union).  Output: per classification,
+    the gated doc count and the number of distinct entities the gate
+    let through (0 for UNRENDERED/LOGO — the whole point of the gate)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", "text", _classification_col().alias("classification"))
+    n_docs = base.groupBy("classification").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    ents = (
+        base.filter(F.col("classification") == "DETAILED")
+        .select(
+            "classification", F.explode(F.split(F.col("text"), " ")).alias("entity")
+        )
+        .filter(F.col("entity") != "")
+        .groupBy("classification")
+        .agg(F.countDistinct("entity").cast("long").alias("n_entities"))
+    )
+    return (
+        n_docs.join(ents, "classification", "left")
+        .select(
+            "classification",
+            "n_docs",
+            F.coalesce(F.col("n_entities"), F.lit(0).cast("long")).alias(
+                "n_entities"
+            ),
+        )
+        .orderBy("classification")
+    )
+
+
 ORACLE_SQL = {
     "mm_decode_stub": """
         SELECT doc_id,
@@ -116,9 +205,57 @@ ORACLE_SQL = {
                CAST(unnest(range(0, (n_chars % 4) + 1)) * 1000 AS BIGINT) AS frame_offset_ms
         FROM documents ORDER BY doc_id, frame_idx
     """,
+    "mm_dataurl_decode": """
+        WITH du AS (
+          SELECT doc_id,
+                 'data:' ||
+                 CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                      WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                      ELSE 'video/mp4' END ||
+                 ';base64,' || to_base64(unhex(md5(text))) AS data_url
+          FROM documents
+        )
+        SELECT doc_id,
+               split_part(split_part(split_part(data_url, ',', 1), ':', 2), ';', 1) AS mime_type,
+               split_part(split_part(split_part(split_part(data_url, ',', 1), ':', 2), ';', 1), '/', 2) AS extension,
+               CAST(octet_length(from_base64(split_part(data_url, ',', 2))) AS BIGINT) AS n_bytes,
+               hex(from_base64(split_part(data_url, ',', 2))) AS payload_hex
+        FROM du ORDER BY doc_id
+    """,
+    "mm_image_gate_entities": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN (64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT))
+                         * (64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT))
+                         < 16384 THEN 'UNRENDERED'
+                      WHEN 1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 3 = 1
+                        THEN 'LOGO'
+                      ELSE 'DETAILED' END AS classification
+          FROM documents
+        ),
+        n_docs AS (
+          SELECT classification, CAST(count(*) AS BIGINT) AS n_docs
+          FROM base GROUP BY classification
+        ),
+        ents AS (
+          SELECT classification,
+                 CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+          FROM (
+            SELECT classification, unnest(string_split(text, ' ')) AS entity
+            FROM base WHERE classification = 'DETAILED'
+          ) WHERE entity <> ''
+          GROUP BY classification
+        )
+        SELECT d.classification, d.n_docs,
+               coalesce(e.n_entities, CAST(0 AS BIGINT)) AS n_entities
+        FROM n_docs d LEFT JOIN ents e ON d.classification = e.classification
+        ORDER BY d.classification
+    """,
 }
 
 QUERIES = {
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
+    "mm_dataurl_decode": mm_dataurl_decode,
+    "mm_image_gate_entities": mm_image_gate_entities,
 }

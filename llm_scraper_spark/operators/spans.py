@@ -178,12 +178,47 @@ def synth_span_docs(spark, sf_dir: str, extra_words: bool = False) -> DataFrame:
     return docs.select("doc_id", spans.alias("spans"))
 
 
+def synth_span_docs_py(sf_dir: str, extra_words: bool = False) -> dict[int, list[dict]]:
+    """Pure-Python mirror of ``synth_span_docs`` (pyarrow read, no
+    Spark anywhere) — the independent oracle input for the
+    self-checking driver gates below and for tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    extras = ["sensor", "hub", "camera", "thermostat"]
+    out: dict[int, list[dict]] = {}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        if extra_words:
+            text = f"{text} {extras[doc_id % 4]} vendor energy"
+        ws = text.split(" ")
+        n_chunks = max(min((len(ws) + 3) // 4, 8), 1)
+        spans = []
+        for i in range(n_chunks):
+            kind = "heading" if i % 3 == 0 else ("image" if i % 5 == 4 else "text")
+            spans.append(
+                {
+                    "kind": kind,
+                    "text": "" if i % 5 == 4 else " ".join(ws[4 * i : 4 * i + 4]),
+                    "media_ref": f"img://{doc_id}/{i}" if i % 5 == 4 else None,
+                    "offset": i,
+                }
+            )
+        out[doc_id] = spans
+    return out
+
+
 def w1_heading_fold(spark, sf_dir: str) -> DataFrame:
     """W1: the privacy-policy tag-stream fold over synthesized spans —
-    reproduces scrape_pp.py:26-47 bug-for-bug (rows-only driver check:
-    the sequential fold with its dropped-final-pair quirk is not
-    SQL-expressible; equality vs the pure-Python fold is pytest-gated
-    in tests/test_spans_extract.py)."""
+    reproduces scrape_pp.py:26-47 bug-for-bug.  The DuckDB twin is the
+    gaps-and-islands form of the same fold: segments split at
+    text→heading transitions, each segment is a heading-run (the
+    ``" -> "``-joined key — leading separator on the first segment,
+    the reference's prev-starts-as-heading quirk) followed by a
+    text-run (first text appended raw, later texts trimmed and
+    space-joined), and the final segment per document is dropped (the
+    reference's never-flushed-last-pair bug)."""
     return heading_fold(synth_span_docs(spark, sf_dir)).orderBy(
         "doc_id", "heading_path", "content"
     )
@@ -191,23 +226,37 @@ def w1_heading_fold(spark, sf_dir: str) -> DataFrame:
 
 def w4_span_dedup(spark, sf_dir: str) -> DataFrame:
     """W4: first-wins fuzzy span dedup (content_cleaner.py:8-24,
-    threshold-90 Indel) — rows-only (rapidfuzz-style scoring has no
-    SQL twin); per-doc kept/dropped counts."""
+    threshold-90 Indel).  Indel scoring has no SQL form, so the driver
+    gate is SELF-CHECKING: the Spark UDF's per-doc kept-counts are
+    compared against an independent pure-Python oracle (pyarrow input
+    via ``synth_span_docs_py`` + the shared ``deduplicate_fields`` —
+    no Spark in the oracle path), and the result collapses to one row
+    whose expected values the DuckDB twin computes independently:
+    ``n_docs`` from the documents table, ``n_mismatch`` as the literal
+    0.  Any Spark/oracle divergence makes the value-hash compare fail."""
     src = synth_span_docs(spark, sf_dir)
-    kept = dedup_spans(src)
-    return (
-        src.select("doc_id", F.size("spans").alias("n_spans"))
-        .join(
-            kept.select("doc_id", F.size("spans").alias("n_kept")), "doc_id"
+    kept = dedup_spans(src).select("doc_id", F.size("spans").alias("n_kept"))
+    exp_rows = []
+    for doc_id, spans in synth_span_docs_py(sf_dir).items():
+        texted = [(str(i), s["text"]) for i, s in enumerate(spans) if s["text"]]
+        kept_ids = {t for t, _ in deduplicate_fields(texted)}
+        n = sum(
+            1 for i, s in enumerate(spans) if not s["text"] or str(i) in kept_ids
         )
-        .withColumn("n_dropped", (F.col("n_spans") - F.col("n_kept")).cast("long"))
-        .select(
-            "doc_id",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-            "n_dropped",
+        exp_rows.append((doc_id, n))
+    exp = spark.createDataFrame(exp_rows, "doc_id long, exp_n_kept int")
+    return kept.join(exp, "doc_id", "full").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_kept").isNull()
+                | F.col("exp_n_kept").isNull()
+                | (F.col("n_kept") != F.col("exp_n_kept")),
+                1,
+            ).otherwise(0)
         )
-        .orderBy("doc_id")
+        .cast("long")
+        .alias("n_mismatch"),
     )
 
 
@@ -215,18 +264,119 @@ def extract_triplet_pipeline(spark, sf_dir: str) -> DataFrame:
     """The reference's flagship per-doc pipeline (scrape_eccomerce.py:
     179-292) as one plan: classify gate → entity extraction →
     synthetic-LLM triplet parse with the camel-collapse mangle
-    (response_cleaner.py:48-63) — rows-only (the eval-based string
-    mangle is not SQL-expressible; pytest-gated vs the pure-Python
-    oracle)."""
-    from .extract import extract_triplets
+    (response_cleaner.py:48-63).  The eval-based string mangle is not
+    SQL-expressible, so like ``w4_span_dedup`` the driver gate is
+    self-checking: the full Spark triplet multiset is full-outer
+    compared (per-triplet counts) against the pure-Python
+    ``extract_triplets_doc`` oracle over ``synth_span_docs_py`` input,
+    and the DuckDB twin pins ``n_docs`` + the literal ``n_mismatch=0``."""
+    from .extract import extract_triplets, extract_triplets_doc
 
     docs = synth_span_docs(spark, sf_dir, extra_words=True)
-    return extract_triplets(docs).orderBy(
-        "url", "subj", "predicate", "obj"
+    got = extract_triplets(docs).groupBy(
+        "url", "subj_type", "subj", "predicate", "obj_type", "obj"
+    ).agg(F.count("*").alias("n_got"))
+    exp_rows = []
+    for doc_id, spans in synth_span_docs_py(sf_dir, extra_words=True).items():
+        for st, sn, p, ot, on in extract_triplets_doc(spans):
+            exp_rows.append((doc_id, st, sn, p, ot, on))
+    exp = (
+        spark.createDataFrame(
+            exp_rows,
+            "url long, subj_type string, subj string, predicate string,"
+            " obj_type string, obj string",
+        )
+        .groupBy("url", "subj_type", "subj", "predicate", "obj_type", "obj")
+        .agg(F.count("*").alias("n_exp"))
     )
+    keys = ["url", "subj_type", "subj", "predicate", "obj_type", "obj"]
+    mismatches = (
+        got.join(exp, keys, "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_got").isNull()
+                    | F.col("n_exp").isNull()
+                    | (F.col("n_got") != F.col("n_exp")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch")
+        )
+    )
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return n_docs.crossJoin(mismatches)
 
 
-ORACLE_SQL: dict[str, str] = {}
+_W1_FOLD_SQL = r"""
+    WITH chunks AS (
+      SELECT doc_id, i,
+             CASE WHEN i % 3 = 0 THEN 'heading'
+                  WHEN i % 5 = 4 THEN 'image'
+                  ELSE 'text' END AS kind,
+             CASE WHEN i % 5 = 4 THEN ''
+                  ELSE array_to_string(ws[4*i+1 : 4*i+4], ' ') END AS txt
+      FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(least((len(ws)+3)//4, 8), 1))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    filtered AS (SELECT * FROM chunks WHERE kind IN ('heading','text')),
+    bnd AS (
+      SELECT doc_id, i, kind, txt,
+             CASE WHEN kind = 'heading'
+                   AND lag(kind) OVER (PARTITION BY doc_id ORDER BY i) = 'text'
+                  THEN 1 ELSE 0 END AS is_bnd
+      FROM filtered
+    ),
+    seg AS (
+      SELECT doc_id, i, kind, txt,
+             sum(is_bnd) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM bnd
+    ),
+    wtext AS (
+      SELECT *, sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, seg ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS trn
+      FROM seg
+    ),
+    folded AS (
+      SELECT doc_id, seg,
+             CASE WHEN seg = 0
+                  THEN coalesce(' -> ' || string_agg(
+                         CASE WHEN kind='heading' THEN txt END, ' -> ' ORDER BY i), '')
+                  ELSE string_agg(
+                         CASE WHEN kind='heading' THEN txt END, ' -> ' ORDER BY i)
+             END AS heading_path,
+             coalesce(string_agg(CASE WHEN kind='text'
+                                      THEN CASE WHEN trn = 1 THEN txt
+                                                ELSE trim(txt) END
+                                 END, ' ' ORDER BY i), '') AS content
+      FROM wtext GROUP BY doc_id, seg
+    )
+    SELECT doc_id, heading_path, content
+    FROM (SELECT *, max(seg) OVER (PARTITION BY doc_id) AS mx FROM folded)
+    WHERE seg < mx
+    ORDER BY doc_id, heading_path, content
+"""
+
+_SELF_CHECK_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM documents
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "w1_heading_fold": _W1_FOLD_SQL,
+    "w4_span_dedup": _SELF_CHECK_SQL,
+    "extract_triplet_pipeline": _SELF_CHECK_SQL,
+}
 
 QUERIES = {
     "w1_heading_fold": w1_heading_fold,

@@ -176,6 +176,20 @@ def page_spans(canonical_url: str) -> list[dict]:
                     "media_ref": f"{canonical_url}/vid/{b}.mp4",
                 }
             )
+    # ~25% of pages carry a spec table (the reference's post-click
+    # pd.read_html path, scrape_eccomerce.py:126-142) — shallow
+    # machine-generated <tr>/<td> markup, parsed by
+    # operators/htmltables.table_rows_text (F19)
+    if d[1] % 4 == 0:
+        n_rows = 2 + d[2] % 3
+        rows = "".join(
+            f"<tr><td>{_HEADINGS[d[(3 + r) % 20] % len(_HEADINGS)]}</td>"
+            f"<td>{_words(d, 2, 4, r + 17)}</td></tr>"
+            for r in range(n_rows)
+        )
+        spans.append(
+            {"kind": "table", "text": f"<table>{rows}</table>", "media_ref": None}
+        )
     for off, s in enumerate(spans):
         s["offset"] = off
     return spans

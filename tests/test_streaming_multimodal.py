@@ -29,6 +29,41 @@ def test_real_decode_is_gated(spark):
         next(multimodal.real_decode(iter([])))
 
 
+def test_image_gate_matches_python_oracle(spark):
+    """UNRENDERED/LOGO/DETAILED gate + gated entity union vs a pure-
+    Python md5 classifier (image_analysis.py:19-124 decision order)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    ents: set[str] = set()
+    for text in t.column("text").to_pylist():
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, hg, ch = 64 + int(h[0:2], 16), 64 + int(h[2:4], 16), 1 + int(h[4:6], 16) % 3
+        if w * hg < multimodal._UNRENDERED_MAX_PIXELS:
+            cls = "UNRENDERED"
+        elif ch == 1:
+            cls = "LOGO"
+        else:
+            cls = "DETAILED"
+        counts[cls] = counts.get(cls, 0) + 1
+        if cls == "DETAILED":
+            ents.update(w for w in text.split(" ") if w)
+    got = {
+        r["classification"]: (r["n_docs"], r["n_entities"])
+        for r in multimodal.mm_image_gate_entities(spark, SF_DIR).collect()
+    }
+    want = {
+        c: (n, len(ents) if c == "DETAILED" else 0) for c, n in counts.items()
+    }
+    assert got == want
+    assert "DETAILED" in got and got["DETAILED"][1] > 0
+    # the gate actually gates: non-DETAILED classes pass zero entities
+    assert all(v[1] == 0 for c, v in got.items() if c != "DETAILED")
+
+
 def test_sessionize_state_carries_across_batches(spark, tmp_path):
     """Split events at a time boundary into two files, process one file
     per micro-batch: open sessions must carry through state and the
