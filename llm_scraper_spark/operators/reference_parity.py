@@ -240,6 +240,109 @@ def kg_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_topk(edges, k=10)
 
 
+# ----------------------------------------------- triplet reconciliation
+#: synonym → allowed-vocabulary maps (merge_duplicate.py:29-91: the
+#: LLM is asked to map near-synonym relations/types onto the graph's
+#: existing vertex/edge collections, "madeBy" → "manufacturedBy";
+#: deterministic here, per the repo's no-LLM discipline).  These dims
+#: are BOUNDED vocabularies (the reference's NODE_TYPES/EDGE_TYPES
+#: lists), so broadcasting them is correct — unlike corpus-scaling
+#: inputs, which this repo never broadcasts.
+_REL_SYNONYMS = [
+    ("madeBy", "manufactures"),
+    ("manufacturedBy", "manufactures"),
+    ("produces", "manufactures"),
+    ("watches", "observes"),
+    ("monitors", "observes"),
+    ("gathers", "collects"),
+    ("includes", "contains"),
+    ("enables", "supports"),
+]
+_TYPE_SYNONYMS = [
+    ("gadget", "device"),
+    ("appliance", "device"),
+    ("maker", "manufacturer"),
+    ("vendor", "manufacturer"),
+    ("reading", "observation"),
+    ("measurement", "observation"),
+    ("app", "application"),
+    ("policy", "privacyPolicy"),
+]
+_DIRTY_PREDS = ["manufactures", "madeBy", "watches", "gathers", "includes",
+                "enables", "linksTo"]
+_DIRTY_STYPES = ["device", "gadget", "maker", "reading", "app", "widget"]
+_DIRTY_OTYPES = ["observation", "measurement", "appliance", "policy", "thing"]
+
+
+def kg_reconcile_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-shape synonym canonicalization (merge_duplicate.py:29-91):
+    map near-synonym relation/entity types onto the allowed KG
+    vocabulary via broadcast dim joins; unmatched names pass through
+    unchanged (the reference's "otherwise leave it unchanged" rule —
+    left join + coalesce).  Dirty triplets are synthesized
+    deterministically from the documents table (same CTE in the
+    DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    def pick(options: list[str], mod: int):
+        return F.element_at(
+            F.array(*[F.lit(o) for o in options]),
+            (F.col("doc_id") % mod + 1).cast("int"),
+        )
+
+    dirty = docs.select(
+        "doc_id",
+        F.coalesce(F.try_element_at(w, F.lit(1)), F.lit("x")).alias("subj"),
+        F.coalesce(F.try_element_at(w, F.lit(2)), F.lit("x")).alias("obj"),
+        pick(_DIRTY_PREDS, 7).alias("dirty_pred"),
+        pick(_DIRTY_STYPES, 6).alias("dirty_stype"),
+        pick(_DIRTY_OTYPES, 5).alias("dirty_otype"),
+    )
+    rel_map = spark.createDataFrame(_REL_SYNONYMS, "syn string, canon string")
+    type_map = spark.createDataFrame(_TYPE_SYNONYMS, "syn string, canon string")
+    out = (
+        dirty.join(
+            F.broadcast(rel_map.withColumnRenamed("canon", "rel_canon")),
+            dirty.dirty_pred == rel_map.syn,
+            "left",
+        )
+        .drop("syn")
+        .join(
+            F.broadcast(
+                type_map.select(
+                    F.col("syn").alias("s_syn"), F.col("canon").alias("s_canon")
+                )
+            ),
+            F.col("dirty_stype") == F.col("s_syn"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                type_map.select(
+                    F.col("syn").alias("o_syn"), F.col("canon").alias("o_canon")
+                )
+            ),
+            F.col("dirty_otype") == F.col("o_syn"),
+            "left",
+        )
+    )
+    changed = (
+        F.when(F.col("rel_canon").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("s_canon").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("o_canon").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "doc_id",
+        "subj",
+        F.coalesce(F.col("s_canon"), F.col("dirty_stype")).alias("subj_type"),
+        F.coalesce(F.col("rel_canon"), F.col("dirty_pred")).alias("predicate"),
+        F.coalesce(F.col("o_canon"), F.col("dirty_otype")).alias("obj_type"),
+        "obj",
+        changed.cast("long").alias("n_reconciled"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------- A2-A5 cascade
 def validation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full two-stage validation cascade (validation_pipeline.py:
@@ -427,6 +530,41 @@ ORACLE_SQL = {
         FROM edges GROUP BY dst_key
         ORDER BY degree DESC, key LIMIT 10
     """,
+    "kg_reconcile_triplets": f"""
+        WITH rel_map AS (
+          SELECT * FROM (VALUES
+            {", ".join(f"('{s}','{c}')" for s, c in _REL_SYNONYMS)}
+          ) AS t(syn, canon)
+        ),
+        type_map AS (
+          SELECT * FROM (VALUES
+            {", ".join(f"('{s}','{c}')" for s, c in _TYPE_SYNONYMS)}
+          ) AS t(syn, canon)
+        ),
+        dirty AS (
+          SELECT doc_id,
+                 coalesce(ws[1], 'x') AS subj,
+                 coalesce(ws[2], 'x') AS obj,
+                 {_DIRTY_PREDS!r}[CAST(doc_id % 7 AS INT) + 1] AS dirty_pred,
+                 {_DIRTY_STYPES!r}[CAST(doc_id % 6 AS INT) + 1] AS dirty_stype,
+                 {_DIRTY_OTYPES!r}[CAST(doc_id % 5 AS INT) + 1] AS dirty_otype
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+        SELECT d.doc_id, d.subj,
+               coalesce(ts.canon, d.dirty_stype) AS subj_type,
+               coalesce(rm.canon, d.dirty_pred) AS predicate,
+               coalesce(tk.canon, d.dirty_otype) AS obj_type,
+               d.obj,
+               CAST((CASE WHEN rm.canon IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN ts.canon IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN tk.canon IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reconciled
+        FROM dirty d
+        LEFT JOIN rel_map rm ON rm.syn = d.dirty_pred
+        LEFT JOIN type_map ts ON ts.syn = d.dirty_stype
+        LEFT JOIN type_map tk ON tk.syn = d.dirty_otype
+        ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
@@ -440,4 +578,5 @@ QUERIES = {
     "f12_url_parse_suite": f12_url_parse_suite,
     "kg_vertex_summary": kg_vertex_summary,
     "kg_degree_topk": kg_degree_topk,
+    "kg_reconcile_triplets": kg_reconcile_triplets,
 }
