@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from llm_scraper_spark.operators import (
     dedup,
+    htmldump,
     htmltables,
     multimodal,
     reference_parity,
@@ -44,6 +45,7 @@ _MODULES = (
     textstats,
     multimodal,
     htmltables,
+    htmldump,
     streaming_jobs,
 )
 

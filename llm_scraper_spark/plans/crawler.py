@@ -254,6 +254,14 @@ class Crawler:
         paths = self._paths("fetch")
         return self.spark.read.parquet(*paths).select("doc_id", "spans", "round")
 
+    def raw_html_df(self) -> DataFrame:
+        """S6 dump table: page source re-rendered from the persisted
+        span sequence (extract_htmls.py:43-87 analog; derived, so the
+        hot fetch path never writes a second big string column)."""
+        from ..operators.htmldump import raw_html_view
+
+        return raw_html_view(self.documents_df())
+
     # ---- bloom maintenance ---------------------------------------------
     def _bloom_rebuild(self, upto_round: int, seen_rows: int) -> None:
         from ..functions.bloom import build_bloom
