@@ -35,6 +35,13 @@ N_MINHASH = 8          # 8 minhash fns → 4 LSH bands × 2 rows
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 60      # 4 bands × 15 bits
 HAMMING_MAX = 6
+#: Hot-bucket cap: a band bucket with B docs yields O(B²) candidate
+#: pairs, and boilerplate-heavy shards produce degenerate buckets that
+#: go quadratic.  Buckets larger than this are dropped from the LSH
+#: candidate join (their members are boilerplate; identical ones still
+#: dedup via the exact fingerprint path) — standard super-shingle
+#: practice, and the cap bounds per-bucket work at O(cap²).
+MAX_BUCKET = 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +77,12 @@ _AUG_SQL = """
 
 
 def _shingles(aug: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc — JVM-side array ops (no UDF)."""
+    """Distinct 3-word shingles per doc — JVM-side array ops (no UDF).
+
+    Docs with fewer than 3 words get their whole text as the single
+    shingle (not an empty set, which would silently exempt tiny docs
+    from near-dup detection forever — Jaccard on the singleton is 1.0
+    for equal tiny docs, 0 otherwise)."""
     w = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(w) >= 3,
@@ -80,7 +92,7 @@ def _shingles(aug: DataFrame) -> DataFrame:
                 " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array(F.col("text")))
     # persisted: minhash signatures, size counts, and the candidate
     # intersection all re-read the shingle set — without caching the
     # explode+distinct shuffle runs 3-4× per query (measured 24s → 9s
@@ -98,9 +110,11 @@ _SHINGLES_SQL = """
   shingles AS (
     SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id,
-             unnest(list_transform(range(1, len(ws) - 1),
-                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM aug)
+             unnest(CASE WHEN len(ws) >= 3
+                    THEN list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    ELSE [text] END) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM aug)
     )
   )
 """
@@ -128,8 +142,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys → bucket self-join → exact-Jaccard verification of candidates.
 
     Shuffle cost is O(docs × bands), never O(docs²); verification
-    joins only bucket collisions — the 100 TB-safe plan.
+    joins only bucket collisions; degenerate (boilerplate) buckets are
+    capped at MAX_BUCKET members before the self-join — the window
+    count partitions on the same (band, bkey) key the join shuffles
+    on, so the cap adds no extra shuffle — the 100 TB-safe plan.
     """
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     sh = _shingles(_augmented(spark, sf_dir))
@@ -153,6 +171,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.lit(band).alias("band"), key.alias("bkey")
         )
         bands = b if bands is None else bands.unionByName(b)
+    bands = (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .drop("bsz")
+        # both self-join sides read the capped band table; persist so
+        # the window count runs once (4 short rows per doc)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -324,12 +352,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decidable row-locally from the two signatures already in the row
     (band j matches ⇔ ``((sh_a ^ sh_b) >> 15j) & 0x7FFF = 0``), so the
     dedup is a codegen filter with zero shuffle.  The hamming cut is
-    applied in the same filter, before anything else moves."""
+    applied in the same filter, before anything else moves.  Degenerate
+    band buckets are capped at MAX_BUCKET docs (window count on the
+    join key itself), bounding per-bucket pair work on
+    boilerplate-heavy shards; each doc carries a 4-bit ``capmask`` of
+    its capped bands so the first-match rule skips capped bands (a pair
+    whose first matching bucket was capped is still emitted exactly
+    once, by its first *surviving* matching band — the set semantics
+    the DuckDB twin expresses with DISTINCT over capped bands)."""
+    from pyspark.sql import Window
+
     sig = _simhash_col(spark, sf_dir)
     bands = None
     for band in range(4):
         key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
         b = sig.select("doc_id", "simhash", F.lit(band).alias("band"), key.alias("bkey"))
+        bands = b if bands is None else bands.unionByName(b)
+    # re-pivot to one row per doc carrying the 4-bit capped-band mask,
+    # then re-derive the band rows from it (bkey is a pure function of
+    # simhash) — cheaper than joining the mask back onto band rows
+    sig2 = (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("simhash").alias("simhash"),
+            F.sum(
+                F.expr(f"if(bsz > {MAX_BUCKET}, shiftleft(1, band), 0)")
+            ).alias("capmask"),
+        )
+    )
+    # persisted like the signature table: referenced by 8 plan branches
+    # (4 band projections × 2 self-join sides); one short row per doc
+    from pyspark.storagelevel import StorageLevel
+
+    sig2 = sig2.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = None
+    for band in range(4):
+        key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
+        b = sig2.filter(
+            F.shiftright(F.col("capmask"), band).bitwiseAND(F.lit(1)) == 0
+        ).select(
+            "doc_id", "simhash", "capmask", F.lit(band).alias("band"), key.alias("bkey")
+        )
         bands = b if bands is None else bands.unionByName(b)
     joined = bands.alias("a").join(
         bands.alias("b"),
@@ -338,15 +404,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    # keep the row iff no band EARLIER than this row's band also
-    # matches: for every j < band, the xor's 15-bit slice j is nonzero
-    # (vacuously true via band <= j for j >= band)
+    # keep the row iff no UNCAPPED band EARLIER than this row's band
+    # also matches: for every j < band, the xor's 15-bit slice j is
+    # nonzero OR bucket j was capped (both docs share bucket j when
+    # slice j is zero, so either side's capmask bit is authoritative)
     first_match = None
     for j in range(3):
         no_match_j = (
             F.shiftright(xor, j * 15).bitwiseAND(F.lit((1 << 15) - 1)) != 0
         )
-        cond = (F.col("a.band") <= j) | no_match_j
+        capped_j = (
+            F.shiftright(F.col("a.capmask"), j).bitwiseAND(F.lit(1)) == 1
+        )
+        cond = (F.col("a.band") <= j) | no_match_j | capped_j
         first_match = cond if first_match is None else first_match & cond
     return (
         joined.filter(first_match)
@@ -376,11 +446,17 @@ ORACLE_SQL = {
                  {", ".join(f"min(md5(shingle || '#{b}')) AS mh{b}" for b in range(N_MINHASH))}
           FROM shingles GROUP BY doc_id
         ),
-        bands AS (
+        bands_all AS (
           {" UNION ALL ".join(
               f"SELECT doc_id, {band} AS band, md5(mh{2*band} || '|' || mh{2*band+1}) AS bkey FROM minh"
               for band in range(N_MINHASH // 2)
           )}
+        ),
+        bands AS (
+          SELECT doc_id, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bands_all
+          ) WHERE bsz <= {MAX_BUCKET}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -465,11 +541,17 @@ ORACLE_SQL = {
                  CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
           FROM contrib GROUP BY doc_id
         ),
-        bands AS (
+        bands_all AS (
           {" UNION ALL ".join(
               f"SELECT doc_id, simhash, {band} AS band, (simhash >> {band * 15}) & {(1 << 15) - 1} AS bkey FROM sig"
               for band in range(4)
           )}
+        ),
+        bands AS (
+          SELECT doc_id, simhash, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bands_all
+          ) WHERE bsz <= {MAX_BUCKET}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -171,8 +171,11 @@ def a11_entity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- joins
 def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge-endpoint-style dim lookup (db.py:91-95) — broadcast hash
-    join of the fact table against a small dim, then exact decimal agg."""
+    """Edge-endpoint-style dim lookup (db.py:91-95) — fact⋈dim hash
+    join, then exact decimal agg.  The dim (part) scales with SF, so
+    no compile-time broadcast hint: AQE picks broadcast at runtime
+    when the actual size is small (it is at test scale) and degrades
+    to a shuffled join at 100 TB instead of OOMing the driver."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     # factors cast to decimal BEFORE multiplying: decimal×decimal is
@@ -181,7 +184,7 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount")
     ).cast(DEC)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -220,7 +223,7 @@ def j7_semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
     return (
         li.join(
-            F.broadcast(big.select("p_partkey")),
+            big.select("p_partkey"),  # scales with SF — AQE decides
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -432,8 +435,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join narrowed by per-table filters BEFORE
     the joins (Catalyst pushes them into the scans), revenue top-10.
-    customer is filtered then broadcast; orders⋈lineitem shuffles on
-    the join key only after both sides are pruned."""
+    customer scales with SF so it carries no broadcast hint (AQE
+    broadcasts the filtered segment only when the runtime size is
+    small); orders⋈lineitem shuffles on the join key only after both
+    sides are pruned."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -444,7 +449,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -453,9 +458,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join of two dims (broadcast) against the
-    fact chain, with the customer-nation == supplier-nation colocation
-    predicate."""
+    """TPC-H Q5 shape: star join against the fact chain with the
+    customer-nation == supplier-nation colocation predicate.  Only the
+    fixed-cardinality dims (nation/region) are broadcast by hint;
+    supplier/customer scale with SF, so AQE sizes those joins at
+    runtime."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -468,9 +475,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

@@ -160,12 +160,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_assign(vecs: DataFrame) -> DataFrame:
     """IVF coarse quantizer: cell = argmax-cosine centroid.
 
-    Centroids are the vectors with vec_id ∈ [N_QUERIES, N_QUERIES+N_CELLS)
-    — a deterministic stand-in for a k-means codebook (training the
-    codebook is an offline step; the *serving* plan below is the real
-    thing).  The assignment is a broadcast join against the tiny
-    centroid table + a per-vector argmax window: one corpus scan, no
-    corpus shuffle beyond the rank partition."""
+    Centroids here are the vectors with vec_id ∈
+    [N_QUERIES, N_QUERIES+N_CELLS) — the deterministic seed codebook;
+    ``ivf_train_kmeans`` below refines it with exact Lloyd's updates
+    (gated by ``ann_ivf_train_cells``).  The assignment is a broadcast
+    join against the tiny centroid table + a per-vector argmax window:
+    one corpus scan, no corpus shuffle beyond the rank partition."""
     cents = vecs.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
     ).select(
@@ -173,17 +173,7 @@ def _ivf_assign(vecs: DataFrame) -> DataFrame:
         F.col("qe").alias("c_qe"),
         F.col("norm2").alias("c_norm2"),
     )
-    scored = vecs.join(F.broadcast(cents))
-    cos = _dot("c_qe", "qe").cast("double") / (
-        F.sqrt(F.col("c_norm2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
-    return (
-        scored.select("vec_id", "cell", cos.alias("c_cos"))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "cell")
-    )
+    return _assign_to(vecs, cents)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +289,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- IVF codebook training
+KMEANS_ITERS = 2
+
+
+def _assign_to(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine cell per vector against a (cell, c_qe, c_norm2)
+    codebook — broadcast centroid join + per-vector rank window."""
+    scored = vecs.join(F.broadcast(cents))
+    cos = _dot("c_qe", "qe").cast("double") / (
+        F.sqrt(F.col("c_norm2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.select("vec_id", "cell", cos.alias("c_cos"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_train_kmeans(
+    spark: SparkSession, vecs: DataFrame, k: int = N_CELLS, iters: int = KMEANS_ITERS
+):
+    """Deterministic Lloyd's k-means for the IVF codebook — the offline
+    training step the ann_ivf_topk serving plan assumes.
+
+    Exactness trick: cosine is invariant to positive scaling, so each
+    new centroid is kept as the element-wise integer SUM of its member
+    vectors, never the fractional mean — every number in the loop stays
+    an exact int64 (sums of quantized components; norms ≪ 2^63), which
+    makes the trainer bit-reproducible across engines and lets the
+    DuckDB twin verify it by unrolling the iterations.  Ties break on
+    the lowest cell id; empty cells keep their previous centroid.
+
+    Plan per iteration: one broadcast-assign corpus scan (O(corpus×k)
+    in-row dot products), then a skinny (cell, pos, component) shuffle
+    for the sums — O(corpus×DIM) rows of 20 bytes.  At 100 TB you run
+    this on a corpus sample; serving uses the static codebook.
+
+    Returns (centroids DF (cell, c_qe, c_norm2), last assignment DF
+    (vec_id, cell) — the assignment that produced those centroids).
+    """
+    cells = spark.range(k).select(F.col("id").cast("int").alias("cell"))
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("cell"),
+        F.col("qe").alias("c_qe"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_to(vecs, cents)
+        sums = (
+            assigned.join(vecs, "vec_id")
+            .select("cell", F.posexplode("qe").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+        )
+        newc = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+            ).alias("new_qe")
+        )
+        cents = (
+            cells.join(newc, "cell", "left")
+            .join(
+                cents.select("cell", F.col("c_qe").alias("prev_qe")), "cell", "left"
+            )
+            .select("cell", F.coalesce("new_qe", "prev_qe").alias("c_qe"))
+            .withColumn(
+                "c_norm2",
+                F.aggregate(
+                    "c_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+                ),
+            )
+        )
+    return cents, assigned
+
+
+def ann_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the k-means trainer: run KMEANS_ITERS exact
+    Lloyd's updates and emit the per-cell summary (membership count of
+    the final assignment + the trained centroid's norm) — integers
+    that pin every assignment and every centroid component."""
+    vecs = _quantized(spark, sf_dir)
+    cents, assigned = ivf_train_kmeans(spark, vecs)
+    counts = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        cents.join(counts, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+            F.col("c_norm2").cast("long").alias("c_norm2"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _planes_sql(p: int) -> str:
     return "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
 
@@ -309,7 +398,61 @@ _BUCKET_SQL = " + ".join(
     for p in range(N_PLANES)
 )
 
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd's iteration: assign against codebook c{i-1},
+    sum member components per (cell, pos), reassemble, keep the
+    previous centroid for empty cells."""
+    prev, cur = f"c{i - 1}", f"c{i}"
+    return f"""
+        a{i} AS (
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                          j -> v.qe[j] * c.c_qe[j])) AS DOUBLE)
+                     / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE)))
+                     DESC, c.cell ASC) AS rk
+            FROM qn v, {prev} c)
+          WHERE rk = 1
+        ),
+        s{i} AS (
+          SELECT a.cell, t.j AS pos, CAST(sum(v.qe[t.j]) AS BIGINT) AS s
+          FROM a{i} a JOIN qn v USING (vec_id), range(1, {DIM + 1}) t(j)
+          GROUP BY a.cell, t.j
+        ),
+        n{i} AS (SELECT cell, list(s ORDER BY pos) AS new_qe FROM s{i} GROUP BY cell),
+        {cur} AS (
+          SELECT cl.cell,
+                 coalesce(n.new_qe, c.c_qe) AS c_qe,
+                 CAST(list_sum(list_transform(coalesce(n.new_qe, c.c_qe),
+                      x -> x * x)) AS BIGINT) AS c_norm2
+          FROM cells cl
+          LEFT JOIN n{i} n ON n.cell = cl.cell
+          LEFT JOIN {prev} c ON c.cell = cl.cell
+        )"""
+
+
+_KMEANS_SQL = f"""
+        WITH {_QUANT_SQL},
+        cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
+        c0 AS (
+          SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cell,
+                 qe AS c_qe, norm2 AS c_norm2
+          FROM qn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+        ),{",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS + 1))}
+        SELECT CAST(cl.cell AS BIGINT) AS cell,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_members,
+               c{KMEANS_ITERS}.c_norm2 AS c_norm2
+        FROM cells cl
+        LEFT JOIN (SELECT cell, count(*) AS n FROM a{KMEANS_ITERS} GROUP BY cell) cnt
+               ON cnt.cell = cl.cell
+        JOIN c{KMEANS_ITERS} ON c{KMEANS_ITERS}.cell = cl.cell
+        ORDER BY cell
+"""
+
+
 ORACLE_SQL = {
+    "ann_ivf_train_cells": _KMEANS_SQL,
     "sim_bruteforce_topk": f"""
         WITH {_QUANT_SQL},
         pairs AS (
@@ -445,5 +588,6 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_train_cells": ann_ivf_train_cells,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }

@@ -59,8 +59,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ Q7
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair flows.  Both nation
-    lookups broadcast; the disjunctive pair predicate applies after the
-    dims resolve; revenue per (supp_nation, cust_nation, year)."""
+    lookups broadcast (fixed 25 rows); supplier/customer scale with SF
+    so AQE sizes those joins at runtime; the disjunctive pair predicate
+    applies after the dims resolve; revenue per
+    (supp_nation, cust_nation, year)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
@@ -79,8 +81,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -97,8 +99,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ Q10
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue top-20.  lineitem pruned
-    to returns at the scan, orders date-pruned, customer/nation
-    broadcast; TakeOrderedAndProject caps the result."""
+    to returns at the scan, orders date-pruned, nation broadcast
+    (customer scales with SF — AQE decides);
+    TakeOrderedAndProject caps the result."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -108,7 +111,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
@@ -160,7 +163,8 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 # ------------------------------------------------------------------ Q14
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-revenue share — conditional decimal sums
-    in one pass over the broadcast-joined fact, double division last."""
+    in one pass over the part-joined fact (part scales with SF, so no
+    broadcast hint — AQE decides), double division last."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
@@ -168,7 +172,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     zero = F.lit(0).cast(DEC)
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero))
             .cast("double")
@@ -222,12 +226,13 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ Q19
 def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
-    clauses across a broadcast join — Catalyst extracts the common
+    clauses across the part join — Catalyst extracts the common
     l_partkey=p_partkey conjunct so the join stays an equi-join and
-    the OR evaluates post-join."""
+    the OR evaluates post-join; part scales with SF, so AQE sizes the
+    join at runtime instead of a compile-time broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     clause1 = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size").between(1, 15))
