@@ -388,6 +388,44 @@ def ann_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against the exact brute-force
+    top-k, per query — the quality gauge a training-data pipeline
+    needs before trusting approximate neighbors at scale.  Pure
+    composition: semi-join the exact result against the approximate
+    one on (query, neighbor), count hits per query."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _planes_sql(p: int) -> str:
     return "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
 
@@ -583,11 +621,37 @@ ORACLE_SQL = {
     """,
 }
 
+# composed twin: DuckDB allows WITH inside a parenthesized subquery, so
+# the recall oracle wraps the two existing oracles verbatim — one
+# source of truth for the exact and approximate definitions
+ORACLE_SQL["ann_recall_eval"] = f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE_SQL["sim_bruteforce_topk"]}) e
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_ivf_topk"]}) a
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ),
+    base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT b.query_id,
+           CAST(b.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+"""
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_train_cells": ann_ivf_train_cells,
+    "ann_recall_eval": ann_recall_eval,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
