@@ -134,11 +134,16 @@ def run_round(
     else:
         candidates = frontier.join(seen_keys, ["url_hash", "url"], "left_anti")
 
-    # --- robots gate (broadcast: robots is a per-host dim table) -------
+    # --- robots gate (per-host dim table) ------------------------------
+    # no compile-time broadcast hint: robots scales with the number of
+    # known HOSTS (10^7-10^8 on a real 10^10-URL web), so Spark's size
+    # estimate decides — the KB-scale table auto-broadcasts, a
+    # multi-GB one shuffles instead of OOMing the driver (same
+    # discipline as the seen-set anti-joins above)
     # regexp path extraction (codegen'd; url is already canonical)
     path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]*(/[^?#]*)", 1)
     gated = (
-        candidates.join(F.broadcast(robots), "host", "left")
+        candidates.join(robots, "host", "left")
         .withColumn(
             "_blocked",
             F.col("disallow_prefix").isNotNull()
