@@ -430,6 +430,101 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair table via iterative
+    min-label propagation: every vertex starts labelled with itself and
+    repeatedly takes the minimum label among itself and its neighbours
+    until a fixpoint (≤ graph diameter iterations; near-dup clusters
+    are dense, so typically 2-3).
+
+    Scale shape: each iteration is one shuffle join (labels ⋈ edges on
+    the destination) + one min-aggregate — O(edges) per round, never
+    materializing components.  Edges are repartitioned by join key once
+    and persisted so every round reuses the same exchange;
+    ``localCheckpoint`` truncates the otherwise exponentially growing
+    lineage each round (on a real cluster use a reliable
+    ``checkpoint()`` dir instead — localCheckpoint pins executors).
+    This is the hash-min algorithm; the O(log² n)-round large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") drops in for adversarially long chains.
+
+    Returns (vertex, component) with component = min vertex id reached.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+        )
+        .repartition("e_dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("e_src").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.e_dst == labels.vertex)
+            .groupBy("e_src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vertex == nbr_min.e_src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage; also materializes
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs grouped into
+    connected components, canonical id = min doc_id per component.
+
+    This is the step a real training-data pipeline runs after pair
+    generation — pairwise output alone can't answer "keep one doc per
+    duplicate group" when dups chain (A~B, B~C but A≁C directly); the
+    component, not the pair, is the dedup unit.  The reference's
+    set()-based URL dedup (extract_product_urls.py:57) has no analog —
+    this is the scale-path extension."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return (
+        cc.select(
+            F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 ORACLE_SQL = {
     "dedup_exact": f"""
         WITH {_AUG_SQL}
@@ -495,6 +590,63 @@ ORACLE_SQL = {
         JOIN sizes zb ON zb.doc_id = i.doc_b
         WHERE CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    # same LSH chain as dedup_minhash_lsh, then component closure via a
+    # recursive CTE (min label over the transitive closure == the
+    # hash-min fixpoint the Spark loop converges to)
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_AUG_SQL}, {_SHINGLES_SQL},
+        minh AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(shingle || '#{b}')) AS mh{b}" for b in range(N_MINHASH))}
+          FROM shingles GROUP BY doc_id
+        ),
+        bands_all AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {band} AS band, md5(mh{2*band} || '|' || mh{2*band+1}) AS bkey FROM minh"
+              for band in range(N_MINHASH // 2)
+          )}
+        ),
+        bands AS (
+          SELECT doc_id, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bands_all
+          ) WHERE bsz <= {MAX_BUCKET}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.doc_a
+          JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        pairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.doc_a
+          JOIN sizes zb ON zb.doc_id = i.doc_b
+          WHERE CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT src AS v, src AS label FROM edges
+          UNION
+          SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
+        ),
+        comp AS (SELECT v AS doc_id, min(label) AS cluster_id FROM reach GROUP BY v)
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM comp ORDER BY cluster_id, doc_id
     """,
     "dedup_simhash": f"""
         WITH {_AUG_SQL},
@@ -568,6 +720,7 @@ ORACLE_SQL = {
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
