@@ -96,6 +96,120 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q8
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the share of NATION_1
+    suppliers in AMERICA-region customers' ECONOMY-part revenue, by
+    order year.  part is pruned at the scan (p_type pushed down) before
+    the fact join; part/supplier/customer scale with SF so AQE sizes
+    those joins; nation (25 rows) and region (5 rows) broadcast.
+    Conditional decimal sums in one pass, double division last."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------------------------------ Q15
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the
+    revenue view folded inline, the scalar max joined back as a 1-row
+    broadcast (never a single-partition global window, which would
+    funnel every supplier row through one task at scale).  Revenue
+    kept decimal through the max-equality so ties are exact; cast to
+    double only on output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("_rev_dec"))
+    max_rev = revenue.agg(F.max("_rev_dec").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("_rev_dec") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ------------------------------------------------------------------ Q17
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    AVG subquery decorrelated into a per-part aggregate joined back to
+    the fact (p_brand + p_size stand in for the missing p_container;
+    same plan).  The 0.2·avg threshold is compared in exact integer
+    arithmetic (qty < 0.2·sum/cnt ⟺ 5·qty·cnt < sum — l_quantity is
+    integer-valued), so the filter is engine-exact with no float
+    division; revenue summed decimal, divided by 7.0 last."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li_parts = li.join(part_f, li.l_partkey == part_f.p_partkey, "left_semi")
+    stats = li_parts.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li_parts.alias("l")
+        .join(stats.alias("s"), F.col("l.l_partkey") == F.col("s.l_partkey"))
+        .filter(
+            F.lit(5) * F.col("l.l_quantity").cast("long") * F.col("s.cnt")
+            < F.col("s.sum_q")
+        )
+        .agg(
+            (
+                F.sum(F.col("l.l_extendedprice").cast(DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_small"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ Q10
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue top-20.  lineitem pruned
@@ -379,6 +493,61 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
+    "tpch_q8_market_share": """
+        WITH yr AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY o_year
+        )
+        SELECT o_year, nation_revenue, total_revenue,
+               nation_revenue / total_revenue AS mkt_share
+        FROM yr ORDER BY o_year
+    """,
+    "tpch_q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))) AS rev_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17_small_qty_revenue": """
+        WITH pq AS (
+          SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 10
+        ),
+        li_parts AS (
+          SELECT l.* FROM lineitem l JOIN pq ON l.l_partkey = pq.p_partkey
+        ),
+        stats AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+                 count(*) AS cnt
+          FROM li_parts GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM li_parts l JOIN stats s ON l.l_partkey = s.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_q
+    """,
     "tpch_q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -487,6 +656,9 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
