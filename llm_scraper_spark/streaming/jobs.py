@@ -189,17 +189,38 @@ def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory(
-    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
+    """AvailableNow drain into a memory sink.
+
+    Stateful streaming ops create one state-store instance (RocksDB/HDFS
+    dir + a python worker for applyInPandasWithState) PER shuffle
+    partition PER micro-batch — fixed cost that dwarfs the work when the
+    key space is small.  These jobs key state by user_id, so the state
+    partition count is clamped to ``state_partitions`` for the drain
+    (measured 11.6 s → 1.6 s at 32 → 8 partitions on the sf0.01 events
+    table) and the session's analytic shuffle width is restored after.
+    A production deployment sizes this to active-key cardinality /
+    executor count, not to the analytic shuffle width."""
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev), state_partitions))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
