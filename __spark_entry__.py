@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from llm_scraper_spark.operators import (
+    curation,
     dedup,
     htmldump,
     htmltables,
@@ -43,6 +44,7 @@ _MODULES = (
     dedup,
     similarity,
     textstats,
+    curation,
     multimodal,
     htmltables,
     htmldump,

@@ -1,0 +1,371 @@
+"""Corpus-curation operators for a training-data pipeline:
+benchmark decontamination, repetition filtering, stratified sampling,
+source-mix accounting, and the composed keep/drop pipeline.
+
+Reference analogs: the reference dedups content before its LLM stages
+(scrape_eccomerce.py:196 via content_cleaner.py:8-24) and samples 50
+items for evaluation (entity_analysis.py:137-138) but has no
+corpus-level curation; at 100 TB these are the standard pre-training
+steps between raw crawl output and tokenization (decontaminate →
+quality/repetition filter → dedup keep-one → stratified mix).
+
+Scale notes:
+- All per-doc features are row-local higher-order array functions
+  (zero shuffle, no Python).
+- Decontamination is a posting-table equi-join on gram hash — the
+  corpus side never collects, the eval side is tiny in practice but
+  NOT broadcast-hinted (an eval suite can be millions of docs; AQE
+  picks broadcast only when the runtime size allows).
+- The curation pipeline's only shuffle is the exact-dedup window on
+  the 16-byte md5 fingerprint, never the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: word-gram size for decontamination overlap (the 13-gram standard
+#: scaled to the synthetic corpus' ~40-word docs).
+DECON_K = 5
+#: every doc_id ≡ 0 (mod 97) plays the held-out benchmark/eval set.
+EVAL_MOD = 97
+#: repetition thresholds (Gopher-style repetition filters).
+REP_WORD_MAX = 0.60
+REP_BIGRAM_MAX = 0.30
+#: per-language quota for the stratified sample.
+STRATA_N = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _gram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams: array<string>) — distinct md5 k-word-gram hashes
+    per doc, row-local.  Docs shorter than K words hash their whole
+    text (mirrors the MinHash short-doc fallback in dedup.py).
+
+    The word array is materialized as a column attribute before the
+    dependent transform — captured inline, Spark re-evaluates the
+    split once per lambda call (the O(n²) trap documented at
+    textstats.winnow_fps)."""
+    with_ws = docs.select("doc_id", "text", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= DECON_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (DECON_K - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(ws, i + F.lit(d)) for d in range(DECON_K)],
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    return with_ws.select("doc_id", grams.alias("grams"))
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    k-word gram with the held-out eval split (doc_id ≡ 0 mod 97).
+
+    The training-data classic (GPT-3 appendix C / Gopher §A.3): exact
+    n-gram collision between corpus and benchmark marks the doc
+    contaminated.  Plan: gram posting tables on both sides, one
+    equi-join on the 32-byte gram hash, per-doc count aggregate —
+    O(postings), never O(docs²), and only hashes shuffle."""
+    grams = _gram_sets(_docs(spark, sf_dir))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = grams.filter(~is_eval).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    eval_ = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), F.explode("grams").alias("gram")
+    )
+    hits = (
+        train.join(eval_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").cast("long").alias("n_eval_docs_hit"),
+        )
+    )
+    base = grams.filter(~is_eval).select("doc_id")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
+                "n_shared_grams"
+            ),
+            F.coalesce("n_eval_docs_hit", F.lit(0)).cast("long").alias(
+                "n_eval_docs_hit"
+            ),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _rep_cols(docs: DataFrame) -> DataFrame:
+    """Adds duplicate-word / duplicate-bigram ratio columns, row-local."""
+    with_ws = docs.select("*", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    n_w = F.size(ws)
+    bigrams = F.when(
+        n_w >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_w - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(ws)
+    with_bg = with_ws.select("*", bigrams.alias("bg"))
+    bg = F.col("bg")
+    dup_w = (n_w - F.size(F.array_distinct(ws))).cast("double") / n_w.cast(
+        "double"
+    )
+    dup_b = (F.size(bg) - F.size(F.array_distinct(bg))).cast(
+        "double"
+    ) / F.size(bg).cast("double")
+    return with_bg.select(
+        "*", dup_w.alias("dup_word_ratio"), dup_b.alias("dup_bigram_ratio")
+    )
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate words and
+    duplicate word-bigrams per doc; docs past either threshold drop.
+    Entirely row-local array math — no shuffle, no Python."""
+    rep = _rep_cols(_docs(spark, sf_dir))
+    return rep.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        "dup_word_ratio",
+        "dup_bigram_ratio",
+        (
+            (F.col("dup_word_ratio") <= REP_WORD_MAX)
+            & (F.col("dup_bigram_ratio") <= REP_BIGRAM_MAX)
+        )
+        .cast("long")
+        .alias("rep_keep"),
+    ).orderBy("doc_id")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: top STRATA_N docs per
+    lang ordered by md5(doc_id) — the language/source-mix rebalancing
+    step.  Seeded-hash order makes the sample reproducible across
+    engines and runs (the same trick as o4_seeded_sample); the window
+    shuffles (lang, hash) pairs only."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h.asc()))
+    return (
+        docs.select("doc_id", "lang", "source", rn.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= STRATA_N)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by source: doc count, char volume, and share
+    of corpus — the data-mix accounting every pre-training run reports.
+    The global total joins back as a 1-row aggregate (broadcast-sized
+    by construction), not a single-partition window."""
+    docs = _docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    total = per_src.agg(F.sum("n_docs").cast("long").alias("corpus_docs"))
+    return (
+        per_src.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            (F.col("n_docs").cast("double") / F.col("corpus_docs").cast("double"))
+            .alias("doc_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a real pipeline runs end-to-end:
+    quality gate (text_quality semantics) ∧ language gate (lang_id
+    semantics) ∧ repetition gate ∧ exact-dedup keep-one.  Emits the
+    per-doc flag vector plus the final ``kept`` verdict so the drop
+    reasons stay auditable (a production run groups by the vector for
+    its curation report).
+
+    Only shuffle: the min-doc_id window over the 16-byte md5(text)
+    fingerprint for keep-one dedup."""
+    from llm_scraper_spark.operators.textstats import STOPWORDS
+
+    rep = _rep_cols(_docs(spark, sf_dir))
+    ws = F.col("ws")
+    n_tokens = F.size(ws).cast("long")
+    n_chars = F.length("text").cast("long")
+    mean_tok = n_chars.cast("double") / n_tokens.cast("double")
+    stop_ratio = (
+        F.size(F.filter(ws, lambda w: w.isin(STOPWORDS))).cast("double")
+        / n_tokens.cast("double")
+    )
+    quality_keep = (
+        (n_tokens >= 20) & (mean_tok >= 3.0) & (stop_ratio <= 0.5)
+    ).cast("long")
+    en_hits = F.size(F.filter(ws, lambda w: w.isin(["the", "a", "of"])))
+    lang_keep = (en_hits >= 2).cast("long")
+    rep_keep = (
+        (F.col("dup_word_ratio") <= REP_WORD_MAX)
+        & (F.col("dup_bigram_ratio") <= REP_BIGRAM_MAX)
+    ).cast("long")
+    keeper = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    ).cast("long")
+    flagged = rep.select(
+        "doc_id",
+        quality_keep.alias("quality_keep"),
+        lang_keep.alias("lang_keep"),
+        rep_keep.alias("rep_keep"),
+        keeper.alias("dedup_keeper"),
+    )
+    kept = (
+        (F.col("quality_keep") == 1)
+        & (F.col("lang_keep") == 1)
+        & (F.col("rep_keep") == 1)
+        & (F.col("dedup_keeper") == 1)
+    ).cast("long")
+    return flagged.select("*", kept.alias("kept")).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "of", "data", "join"))
+
+_GRAMS_SQL = f"""
+    ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    gram_sets AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {DECON_K} THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(w) - {DECON_K - 1}),
+                 i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                          w[i+3] || ' ' || w[i+4])))
+             ELSE [md5(text)] END AS grams
+      FROM ws)
+"""
+
+_REP_SQL = """
+    rep AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS w,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+             ELSE string_split(text, ' ') END AS bg
+      FROM documents),
+    repr AS (
+      SELECT doc_id, text, len(w) AS n_words,
+             CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+               AS dup_word_ratio,
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+               AS dup_bigram_ratio,
+             w
+      FROM rep)
+"""
+
+ORACLE_SQL = {
+    "decontaminate_ngram_overlap": f"""
+        WITH {_GRAMS_SQL},
+        train AS (
+          SELECT doc_id, unnest(grams) AS gram FROM gram_sets
+          WHERE doc_id % {EVAL_MOD} <> 0),
+        ev AS (
+          SELECT doc_id AS eval_doc, unnest(grams) AS gram FROM gram_sets
+          WHERE doc_id % {EVAL_MOD} = 0),
+        hits AS (
+          SELECT t.doc_id,
+                 CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+                 CAST(count(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs_hit
+          FROM train t JOIN ev e ON t.gram = e.gram
+          GROUP BY t.doc_id)
+        SELECT g.doc_id,
+               CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+               CAST(coalesce(h.n_eval_docs_hit, 0) AS BIGINT) AS n_eval_docs_hit,
+               CAST(CASE WHEN coalesce(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM gram_sets g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        WHERE g.doc_id % {EVAL_MOD} <> 0
+        ORDER BY g.doc_id
+    """,
+    "repetition_ratio": f"""
+        WITH {_REP_SQL}
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               dup_word_ratio, dup_bigram_ratio,
+               CAST(CASE WHEN dup_word_ratio <= {REP_WORD_MAX}
+                          AND dup_bigram_ratio <= {REP_BIGRAM_MAX}
+                         THEN 1 ELSE 0 END AS BIGINT) AS rep_keep
+        FROM repr ORDER BY doc_id
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source, sample_rank FROM (
+          SELECT doc_id, lang, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER)
+                   AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= {STRATA_N}
+        ORDER BY lang, sample_rank
+    """,
+    "corpus_source_mix": """
+        WITH per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source)
+        SELECT source, n_docs, total_chars,
+               CAST(n_docs AS DOUBLE) /
+                 CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share
+        FROM per_src ORDER BY source
+    """,
+    "corpus_curation_pipeline": f"""
+        WITH {_REP_SQL},
+        flags AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN len(w) >= 20
+                        AND CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0
+                        AND CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                            / CAST(len(w) AS DOUBLE) <= 0.5
+                       THEN 1 ELSE 0 END AS BIGINT) AS quality_keep,
+                 CAST(CASE WHEN len(list_filter(w, x -> x IN ('the', 'a', 'of'))) >= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS lang_keep,
+                 CAST(CASE WHEN dup_word_ratio <= {REP_WORD_MAX}
+                        AND dup_bigram_ratio <= {REP_BIGRAM_MAX}
+                       THEN 1 ELSE 0 END AS BIGINT) AS rep_keep,
+                 CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                       THEN 1 ELSE 0 END AS BIGINT) AS dedup_keeper
+          FROM repr)
+        SELECT doc_id, quality_keep, lang_keep, rep_keep, dedup_keeper,
+               CAST(CASE WHEN quality_keep = 1 AND lang_keep = 1
+                          AND rep_keep = 1 AND dedup_keeper = 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM flags ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "repetition_ratio": repetition_ratio,
+    "stratified_sample": stratified_sample,
+    "corpus_source_mix": corpus_source_mix,
+    "corpus_curation_pipeline": corpus_curation_pipeline,
+}

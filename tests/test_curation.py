@@ -1,0 +1,86 @@
+"""Corpus-curation suite vs DuckDB oracles + semantic invariants."""
+
+import pytest
+
+from llm_scraper_spark.operators import curation
+from tests.oracle_check import assert_matches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(curation.QUERIES))
+def test_curation_matches_oracle(spark, name):
+    assert_matches(
+        curation.QUERIES[name](spark, SF_DIR),
+        curation.ORACLE_SQL[name],
+        SF_DIR,
+        name,
+    )
+
+
+def test_decontamination_excludes_eval_docs(spark):
+    """Eval-split docs never appear in the scanned training output, and
+    a contaminated doc always reports at least one eval hit."""
+    rows = curation.QUERIES["decontaminate_ngram_overlap"](
+        spark, SF_DIR
+    ).collect()
+    assert rows, "empty decontamination scan"
+    for r in rows:
+        assert r["doc_id"] % curation.EVAL_MOD != 0
+        if r["contaminated"]:
+            assert r["n_shared_grams"] > 0 and r["n_eval_docs_hit"] > 0
+        else:
+            assert r["n_shared_grams"] == 0 and r["n_eval_docs_hit"] == 0
+
+
+def test_exact_duplicates_are_contaminated(spark):
+    """A training doc whose text equals an eval doc's text must be
+    flagged (shares every gram)."""
+    import duckdb
+
+    dup = duckdb.sql(
+        f"""
+        SELECT t.doc_id FROM '{SF_DIR}/documents.parquet' t
+        JOIN '{SF_DIR}/documents.parquet' e ON t.text = e.text
+        WHERE t.doc_id % {curation.EVAL_MOD} != 0
+          AND e.doc_id % {curation.EVAL_MOD} = 0
+        """
+    ).fetchall()
+    flagged = {
+        r["doc_id"]
+        for r in curation.QUERIES["decontaminate_ngram_overlap"](
+            spark, SF_DIR
+        ).collect()
+        if r["contaminated"]
+    }
+    for (doc_id,) in dup:
+        assert doc_id in flagged, f"exact eval copy {doc_id} not flagged"
+
+
+def test_stratified_sample_respects_quota(spark):
+    rows = curation.QUERIES["stratified_sample"](spark, SF_DIR).collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+        assert 1 <= r["sample_rank"] <= curation.STRATA_N
+    assert per_lang and all(n <= curation.STRATA_N for n in per_lang.values())
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    rows = curation.QUERIES["corpus_source_mix"](spark, SF_DIR).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_curation_pipeline_kept_is_conjunction(spark):
+    rows = curation.QUERIES["corpus_curation_pipeline"](spark, SF_DIR).collect()
+    n_kept = 0
+    for r in rows:
+        expect = int(
+            r["quality_keep"]
+            and r["lang_keep"]
+            and r["rep_keep"]
+            and r["dedup_keeper"]
+        )
+        assert r["kept"] == expect, r
+        n_kept += r["kept"]
+    assert 0 < n_kept < len(rows), "curation gate must be selective"
