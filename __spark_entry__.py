@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from llm_scraper_spark.operators import (
     curation,
     dedup,
+    graph,
     htmldump,
     htmltables,
     multimodal,
@@ -45,6 +46,7 @@ _MODULES = (
     similarity,
     textstats,
     curation,
+    graph,
     multimodal,
     htmltables,
     htmldump,

@@ -121,6 +121,59 @@ def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
     return _last_json_line(proc, f"crawl[{cores}]")
 
 
+def _turbo_probe() -> dict:
+    """Measure the host's single-core turbo differential: the same
+    pure-CPU single-thread kernel pinned to core 0, once with the rest
+    of the machine idle (the 1-core bench level's clock regime) and
+    once with 3 busy sibling cores (the 4-core level's regime).  The
+    ratio bounds the scaling efficiency any engine can *measure* on
+    this box: a baseline that turbos k× faster deflates N→4N
+    efficiency by 1/k even at perfect scaling.  Real clusters add
+    identical nodes, so this artifact exists only in the
+    one-box evidence protocol; reported alongside the raw numbers."""
+    code = (
+        "import numpy as np, time, sys\n"
+        "a = np.random.default_rng(0).random((384, 384))\n"
+        "for _ in range(3): a @ a  # warm\n"
+        "t0 = time.perf_counter(); n = 0\n"
+        "while time.perf_counter() - t0 < 3.0: a @ a; n += 1\n"
+        "print(n / (time.perf_counter() - t0))\n"
+    )
+    burn = "while True: pass\n"
+
+    def _solo() -> float:
+        p = subprocess.run(
+            ["taskset", "-c", "0", sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        return float(p.stdout.strip().splitlines()[-1])
+
+    if not os.path.exists("/usr/bin/taskset"):
+        return {}
+    solo = _solo()
+    burners = [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c", burn],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for c in (1, 2, 3)
+    ]
+    try:
+        time.sleep(0.5)  # let the burners saturate their cores
+        loaded = _solo()
+    finally:
+        for b in burners:
+            b.kill()
+    return {
+        "solo_matmuls_per_sec": round(solo, 1),
+        "loaded_matmuls_per_sec": round(loaded, 1),
+        "single_core_turbo_ratio": round(solo / loaded, 3) if loaded else None,
+    }
+
+
 def bench_crawl_scaling() -> dict:
     """N vs 4N cores on the same input.
 
@@ -135,20 +188,26 @@ def bench_crawl_scaling() -> dict:
       (both levels fully hardware-backed; this Firecracker microVM
       advertises 32 vCPUs but sustains ~20 effective cores and the
       JVM saturates ~17k URLs/s beyond 4-8 threads), interleaved
-      A/B/A/B with best-of-2 per level to ride out hypervisor steal
-      bursts; a single 32-core run is the absolute-throughput point.
+      A/B/A/B/A/B with MEDIAN-of-3 per level: the median rides out
+      both hypervisor-steal bursts (which depress a single run) and
+      single-core turbo outliers (which inflate a single 1-core
+      baseline — see _turbo_probe; best-of-N is biased by exactly
+      that outlier).  Per-rep paired efficiencies are reported for
+      transparency; a single 32-core run is the absolute point.
     """
-    out: dict = {"runs": []}
+    out: dict = {"runs": [], "turbo_probe": _turbo_probe()}
     n_small, n_big = 1, 4
     seeds = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "800000")
-    best = {n_small: 0.0, n_big: 0.0}
-    for rep in range(2):
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    thr: dict[int, list[float]] = {n_small: [], n_big: []}
+    for rep in range(reps):
         for cores in (n_small, n_big):
             r = _run_crawl_subprocess(cores, seeds)
             r["cores"] = cores
             out["runs"].append(r)
-            thr = r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
-            best[cores] = max(best[cores], thr)
+            thr[cores].append(
+                r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
+            )
     r32 = _run_crawl_subprocess(CPUS, seeds)
     r32["cores"] = CPUS
     out["runs"].append(r32)
@@ -157,14 +216,26 @@ def bench_crawl_scaling() -> dict:
         or r32.get("urls_per_sec")
         or 0.0
     }
-    out[f"cores_{n_small}"] = {"urls_per_sec": best[n_small]}
-    out[f"cores_{n_big}"] = {"urls_per_sec": best[n_big]}
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    med = {c: _median(v) for c, v in thr.items()}
+    out[f"cores_{n_small}"] = {"urls_per_sec": med[n_small], "all": thr[n_small]}
+    out[f"cores_{n_big}"] = {"urls_per_sec": med[n_big], "all": thr[n_big]}
+    out["paired_efficiencies"] = [
+        round(b / a / (n_big / n_small), 3)
+        for a, b in zip(thr[n_small], thr[n_big])
+        if a
+    ]
     out["speedup"] = (
-        round(best[n_big] / best[n_small], 3) if best[n_small] else None
+        round(med[n_big] / med[n_small], 3) if med[n_small] else None
     )
     out["scaling_efficiency"] = (
-        round(best[n_big] / best[n_small] / (n_big / n_small), 3)
-        if best[n_small]
+        round(med[n_big] / med[n_small] / (n_big / n_small), 3)
+        if med[n_small]
         else None
     )
     return out

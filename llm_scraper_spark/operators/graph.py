@@ -84,3 +84,133 @@ def degree_topk(edges: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("degree"), F.asc("key"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- PageRank
+#: fixed-point PageRank parameters: rank unit scale, damping as an
+#: integer percentage, fan-out per page, iteration count.  Integer
+#: arithmetic end-to-end makes every iteration's value independent of
+#: floating-point summation order, so a distributed Spark aggregation
+#: and a single-threaded DuckDB twin agree bit-for-bit (the same trick
+#: as the integer-sum k-means centroids in similarity.py).
+PR_SCALE = 10**12
+PR_DAMP_PCT = 85
+PR_FANOUT = 3
+PR_ITERS = 5
+
+
+def link_pagerank(docs, iters: int = PR_ITERS):
+    """PageRank over a deterministic synthetic link graph (every doc
+    links to the PR_FANOUT docs at dense-index (31*i + j) mod n) —
+    the crawl-priority signal the north rule's frontier priority queue
+    consumes (a production crawl feeds real hyperlink edges in; the
+    arithmetic graph keeps testdata self-contained and cross-engine
+    reproducible).
+
+    Scale shape: per iteration one equi-join of ranks onto edges (both
+    sides hash-partitioned on the key) and one sum aggregate —
+    O(edges) shuffle per round, rank state never on the driver.
+    Uniform out-degree means no dangling-mass correction term.
+
+    Fixed-point integers: rank is in units of 1/PR_SCALE.  Each hop
+    contributes rank DIV fanout; the damped update is
+    (100-d)%·SCALE/n + d%·sum, all in integer DIV — order-independent
+    and exact in both engines (all values non-negative, so floor ≡
+    truncation)."""
+    from pyspark.sql import Window
+
+    # Dense-id assignment via a GLOBAL row_number: a single-partition
+    # sort that exists only to *construct* the synthetic graph from a
+    # bare doc list.  The PageRank kernel below consumes any (src, dst)
+    # edge table — a production run feeds real hyperlink edges and
+    # never executes this window.
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")  # row_number is int32; vid*31 overflows past ~7e7 docs
+        .alias("vid"),
+    )
+    n = idx.count()  # scalar graph size (bounded: one long, not data)
+    edges = idx.select(
+        F.col("vid").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("vid") * 31 + F.lit(j)) % n
+                    for j in range(1, PR_FANOUT + 1)
+                ]
+            )
+        ).alias("dst"),
+    )
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // (100 * n)
+    ranks = idx.select("vid", F.lit(PR_SCALE // n).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.vid)
+            .select("dst", F.expr(f"r div {PR_FANOUT}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = idx.select("vid").join(
+            contrib, idx.vid == contrib.dst, "left"
+        ).select(
+            "vid",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{PR_DAMP_PCT} * coalesce(s, 0L) div 100"
+                )
+            ).cast("long").alias("r"),
+        )
+    return idx.join(ranks, "vid").select("doc_id", F.col("r").alias("rank_units"))
+
+
+def link_pagerank_topk(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: top-20 docs by fixed-point PageRank (the frontier
+    priority signal), deterministic tie-break on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return (
+        link_pagerank(docs)
+        .orderBy(F.desc("rank_units"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration for the DuckDB twin (the same
+    unrolled-CTE pattern as similarity._kmeans_iter_sql)."""
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS vid, sum(p{i - 1}.r // {PR_FANOUT}) AS s
+      FROM e JOIN p{i - 1} ON e.src = p{i - 1}.vid GROUP BY e.dst),
+    p{i} AS (
+      SELECT idx.vid,
+             CAST(({100 - PR_DAMP_PCT} * {PR_SCALE} // (100 * (SELECT n FROM nn)))
+                  + ({PR_DAMP_PCT} * coalesce(c{i}.s, 0) // 100) AS BIGINT) AS r
+      FROM idx LEFT JOIN c{i} ON idx.vid = c{i}.vid)"""
+
+
+ORACLE_SQL = {
+    "link_pagerank_topk": f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vid
+          FROM documents),
+        e AS (
+          SELECT vid AS src,
+                 (vid * 31 + j) % (SELECT n FROM nn) AS dst
+          FROM idx CROSS JOIN (VALUES (1), (2), (3)) AS t(j)),
+        p0 AS (
+          SELECT vid, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+          FROM idx),
+        {",".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+        SELECT idx.doc_id, CAST(p{PR_ITERS}.r AS BIGINT) AS rank_units
+        FROM p{PR_ITERS} JOIN idx ON p{PR_ITERS}.vid = idx.vid
+        ORDER BY rank_units DESC, doc_id LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "link_pagerank_topk": link_pagerank_topk,
+}
