@@ -157,43 +157,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(vecs: DataFrame) -> DataFrame:
-    """IVF coarse quantizer: cell = argmax-cosine centroid.
-
-    Centroids here are the vectors with vec_id ∈
-    [N_QUERIES, N_QUERIES+N_CELLS) — the deterministic seed codebook;
-    ``ivf_train_kmeans`` below refines it with exact Lloyd's updates
-    (gated by ``ann_ivf_train_cells``).  The assignment is a broadcast
-    join against the tiny centroid table + a per-vector argmax window:
-    one corpus scan, no corpus shuffle beyond the rank partition."""
-    cents = vecs.filter(
+def _seed_cents(vecs: DataFrame) -> DataFrame:
+    """The deterministic seed codebook: centroids are the vectors with
+    vec_id ∈ [N_QUERIES, N_QUERIES+N_CELLS).  ``ivf_train_kmeans``
+    below refines it with exact Lloyd's updates."""
+    return vecs.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
     ).select(
         (F.col("vec_id") - N_QUERIES).alias("cell"),
         F.col("qe").alias("c_qe"),
         F.col("norm2").alias("c_norm2"),
     )
-    return _assign_to(vecs, cents)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ANN top-k: corpus vectors are bucketed into N_CELLS coarse
-    cells; each query probes its N_PROBE nearest cells and ranks exact
-    cosine only within them.  The candidate join key is the cell id —
-    the same equi-join shape as LSH but with a learned codebook, so
-    cost scales with cell occupancy (corpus/N_CELLS × N_PROBE per
-    query), not corpus².
-    """
-    vecs = _quantized(spark, sf_dir)
-    cells = _ivf_assign(vecs)
+def _ivf_assign(vecs: DataFrame) -> DataFrame:
+    """IVF coarse quantizer against the seed codebook: broadcast join
+    against the tiny centroid table + a per-vector argmax window —
+    one corpus scan, no corpus shuffle beyond the rank partition."""
+    return _assign_to(vecs, _seed_cents(vecs))
+
+
+def _ivf_serve(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF-ANN serving against an arbitrary (cell, c_qe, c_norm2)
+    codebook — shared by the seed-codebook and trained-codebook query
+    paths so the two can never drift.  Corpus vectors are bucketed
+    into cells; each query probes its N_PROBE nearest cells and ranks
+    exact cosine only within them.  The candidate join key is the cell
+    id — the same equi-join shape as LSH, so cost scales with cell
+    occupancy (corpus/N_CELLS × N_PROBE per query), not corpus²."""
+    cells = _assign_to(vecs, cents)
     v = vecs.join(cells, "vec_id")
     # query → its N_PROBE closest cells (broadcast of centroids again)
-    cents = vecs.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("probe_cell"),
-        F.col("qe").alias("c_qe"),
-        F.col("norm2").alias("c_norm2"),
+    pcents = cents.select(
+        F.col("cell").alias("probe_cell"), "c_qe", "c_norm2"
     )
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -205,7 +201,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("p_cos"), F.asc("probe_cell"))
     probes = (
-        queries.join(F.broadcast(cents))
+        queries.join(F.broadcast(pcents))
         .select("query_id", "q_qe", "q_norm2", "probe_cell", qcos.alias("p_cos"))
         .withColumn("prank", F.row_number().over(wq))
         .filter(F.col("prank") <= N_PROBE)
@@ -228,6 +224,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k against the deterministic seed codebook."""
+    vecs = _quantized(spark, sf_dir)
+    return _ivf_serve(vecs, _seed_cents(vecs))
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k served from the TRAINED codebook: the exact
+    integer Lloyd's trainer (``ivf_train_kmeans``) produces the
+    centroids, and the identical serving plan (`_ivf_serve`) consumes
+    them — the full train→serve composition a production ANN index
+    runs, with the training unrolled in the DuckDB twin so every
+    served neighbor is still value-checked end-to-end."""
+    vecs = _quantized(spark, sf_dir)
+    cents, _ = ivf_train_kmeans(spark, vecs)
+    return _ivf_serve(vecs, cents)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +484,62 @@ def _kmeans_iter_sql(i: int) -> str:
         )"""
 
 
+def _ivf_serve_sql(prelude: str, cents: str) -> str:
+    """DuckDB twin of `_ivf_serve`, parameterized by the centroid CTE —
+    generated from one template for both the seed and trained codebooks
+    so the two oracles can never drift from each other."""
+    return f"""
+        WITH {prelude},
+        scored AS (
+          SELECT v.vec_id, v.qe, v.norm2, c.cell,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> v.qe[i] * c.c_qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS c_cos
+          FROM qn v CROSS JOIN {cents} c
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                        ORDER BY c_cos DESC, cell) AS crank
+            FROM scored
+          ) WHERE crank = 1
+        ),
+        qscored AS (
+          SELECT q2.vec_id AS query_id, q2.qe AS q_qe, q2.norm2 AS q_norm2, c.cell,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> q2.qe[i] * c.c_qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(q2.norm2 AS DOUBLE))) AS p_cos
+          FROM qn q2 CROSS JOIN {cents} c
+          WHERE q2.vec_id < {N_QUERIES}
+        ),
+        probes AS (
+          SELECT query_id, q_qe, q_norm2, cell FROM (
+            SELECT query_id, q_qe, q_norm2, cell,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY p_cos DESC, cell) AS prank
+            FROM qscored
+          ) WHERE prank <= {N_PROBE}
+        ),
+        cands AS (
+          SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                      i -> p.q_qe[i] * v.qe[i])) AS DOUBLE)
+                 / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS cosine
+          FROM probes p
+          JOIN (SELECT qn.*, a.cell FROM qn JOIN assign a USING (vec_id)) v
+            ON v.cell = p.cell AND v.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          FROM cands
+        )
+        SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """
+
+
 _KMEANS_SQL = f"""
         WITH {_QUANT_SQL},
         cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
@@ -535,60 +605,24 @@ ORACLE_SQL = {
         )
         SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
     """,
-    "ann_ivf_topk": f"""
-        WITH {_QUANT_SQL},
+    "ann_ivf_topk": _ivf_serve_sql(
+        f"""{_QUANT_SQL},
         cents AS (
           SELECT vec_id - {N_QUERIES} AS cell, qe AS c_qe, norm2 AS c_norm2
           FROM qn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
-        ),
-        scored AS (
-          SELECT v.vec_id, v.qe, v.norm2, c.cell,
-                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
-                      i -> v.qe[i] * c.c_qe[i])) AS DOUBLE)
-                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS c_cos
-          FROM qn v CROSS JOIN cents c
-        ),
-        assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell,
-                   row_number() OVER (PARTITION BY vec_id
-                        ORDER BY c_cos DESC, cell) AS crank
-            FROM scored
-          ) WHERE crank = 1
-        ),
-        qscored AS (
-          SELECT q2.vec_id AS query_id, q2.qe AS q_qe, q2.norm2 AS q_norm2, c.cell,
-                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
-                      i -> q2.qe[i] * c.c_qe[i])) AS DOUBLE)
-                 / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(q2.norm2 AS DOUBLE))) AS p_cos
-          FROM qn q2 CROSS JOIN cents c
-          WHERE q2.vec_id < {N_QUERIES}
-        ),
-        probes AS (
-          SELECT query_id, q_qe, q_norm2, cell FROM (
-            SELECT query_id, q_qe, q_norm2, cell,
-                   row_number() OVER (PARTITION BY query_id
-                        ORDER BY p_cos DESC, cell) AS prank
-            FROM qscored
-          ) WHERE prank <= {N_PROBE}
-        ),
-        cands AS (
-          SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id,
-                 CAST(list_sum(list_transform(range(1, {DIM + 1}),
-                      i -> p.q_qe[i] * v.qe[i])) AS DOUBLE)
-                 / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS cosine
-          FROM probes p
-          JOIN (SELECT qn.*, a.cell FROM qn JOIN assign a USING (vec_id)) v
-            ON v.cell = p.cell AND v.vec_id <> p.query_id
-        ),
-        ranked AS (
-          SELECT query_id, neighbor_id, cosine,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-          FROM cands
-        )
-        SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
-    """,
+        )""",
+        "cents",
+    ),
+    "ann_ivf_trained_topk": _ivf_serve_sql(
+        f"""{_QUANT_SQL},
+        cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
+        c0 AS (
+          SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cell,
+                 qe AS c_qe, norm2 AS c_norm2
+          FROM qn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+        ),{",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS + 1))}""",
+        f"c{KMEANS_ITERS}",
+    ),
     "dedup_embedding_cosine": f"""
         WITH {_QUANT_SQL},
         pert AS (
@@ -651,6 +685,7 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_ivf_train_cells": ann_ivf_train_cells,
     "ann_recall_eval": ann_recall_eval,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -64,3 +64,31 @@ def test_trainer_matches_python_oracle(spark):
     assert {r["cell"]: r["n_members"] for r in rows} == counts
     assert {r["cell"]: r["c_norm2"] for r in rows} == norms
     assert sum(r["n_members"] for r in rows) == n_vecs  # cells partition corpus
+
+
+def test_trained_serving_matches_oracle(spark):
+    """The train→serve composition: k-means centroids feed the shared
+    serving plan; every served neighbor value-checked vs the unrolled
+    DuckDB twin."""
+    from llm_scraper_spark.operators import similarity
+    from tests.oracle_check import assert_matches
+
+    assert_matches(
+        similarity.QUERIES["ann_ivf_trained_topk"](spark, SF_DIR),
+        similarity.ORACLE_SQL["ann_ivf_trained_topk"],
+        SF_DIR,
+        "ann_ivf_trained_topk",
+    )
+
+
+def test_trained_serving_ranks_are_contiguous(spark):
+    from llm_scraper_spark.operators import similarity
+
+    rows = similarity.QUERIES["ann_ivf_trained_topk"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["query_id"]
+    assert by_q
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
