@@ -391,6 +391,22 @@ class Crawler:
             )
             _mark("counts")
             seen_rows += delta_rows
+            # Per-round state maintenance runs INSIDE the measured round
+            # so manifest elapsed_sec (and thus every URLs/s figure the
+            # bench reports) is honest wall-clock, not pipeline-only.
+            # Committing the manifest after maintenance keeps resume
+            # semantics: on a crash mid-maintenance the round is simply
+            # redone (all snapshot writes are deterministic overwrites,
+            # the bloom is in-memory/rebuilt, and _compact_seen clears
+            # stale artifacts of an interrupted attempt).
+            self._bloom_absorb(r, seen_rows)
+            _mark("bloom_absorb")
+            res.unpersist()
+            if self.compact_every:
+                base = self.latest_compact_round(r)
+                if r - (base if base is not None else -1) >= self.compact_every:
+                    self._compact_seen(r)
+                    _mark("compact_seen")
             elapsed = time.monotonic() - t0
             manifest = {
                 "round": r,
@@ -406,12 +422,6 @@ class Crawler:
             }
             _write_manifest(self.workdir, r, manifest)
             manifests.append(manifest)
-            self._bloom_absorb(r, seen_rows)
-            res.unpersist()
-            if self.compact_every:
-                base = self.latest_compact_round(r)
-                if r - (base if base is not None else -1) >= self.compact_every:
-                    self._compact_seen(r)
             if next_frontier_rows == 0:
                 break
         return manifests
