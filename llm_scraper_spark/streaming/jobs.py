@@ -236,7 +236,64 @@ def run_stateful_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("event_type")
 
 
+def view_purchase_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase matches the same user's views in the preceding 2 hours.
+    Both sides carry a 2-hour watermark, which is what BOUNDS the join
+    state (views older than the watermark can never match a future
+    purchase and are evicted) — the piece a batch self-join doesn't
+    need but an unbounded stream cannot run without.  Inner-join rows
+    emit as soon as they match (append mode), so an AvailableNow drain
+    surfaces every pair; the per-purchase rollup runs as a batch agg
+    over the drained sink."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id"))
+        .withWatermark("buy_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("buy_ts")),
+        "inner",
+    ).select("user_id", "buy_id", "buy_ts", "view_id")
+
+
+def run_view_purchase_join_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _drain_to_memory(
+        view_purchase_join_stream(_events_stream(spark, sf_dir)),
+        spark,
+        output_mode="append",
+    )
+    return (
+        pairs.groupBy("user_id", "buy_id")
+        .agg(F.count("*").cast("long").alias("n_views_2h"))
+        .orderBy("user_id", "buy_id")
+    )
+
+
 ORACLE_SQL = {
+    "stream_view_purchase_join": """
+        SELECT p.user_id AS user_id, p.event_id AS buy_id,
+               CAST(count(*) AS BIGINT) AS n_views_2h
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY user_id, buy_id
+    """,
     "stream_windowed_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type,
@@ -274,6 +331,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "stream_view_purchase_join": run_view_purchase_join_available_now,
     "stream_windowed_counts": run_windowed_counts_available_now,
     "stream_stateful_dedup": run_stateful_dedup_available_now,
     "stream_sessionize": run_sessionize_available_now,
