@@ -164,7 +164,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang ordered by md5(doc_id) — the language/source-mix rebalancing
     step.  Seeded-hash order makes the sample reproducible across
     engines and runs (the same trick as o4_seeded_sample); the window
-    shuffles (lang, hash) pairs only."""
+    shuffles (lang, hash) pairs only.
+
+    Scale note: rank-per-stratum sorts each stratum, so a dominant
+    language is a skewed sort at 100 TB.  The scale path prepends a
+    hash-threshold pre-filter (keep md5(doc_id) < t where t generously
+    over-covers STRATA_N/|stratum|, estimated from a count or sample)
+    so the exact rank runs on survivors only — same output, bounded
+    sort."""
     docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string"))
     rn = F.row_number().over(Window.partitionBy("lang").orderBy(h.asc()))

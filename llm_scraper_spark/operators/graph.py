@@ -8,8 +8,9 @@ src/database/db.py:207-469, re-expressed as DataFrame transforms):
              forbidden chars → '_'), insert-if-absent dedup
              (db.py:76-79) = dropDuplicates on key
            → edges: endpoint resolution joins (db.py:91-95, J2) —
-             broadcast hash joins (the vertex dim is small relative to
-             edges at any scale; if not, Catalyst falls back to SMJ)
+             shuffle-hash semi-joins on the key (the vertex set grows
+             with the corpus, so it is never broadcast; see the note
+             at the join site below)
   degree top-k (A1/O2): the AQL degree query
   (search_validation_playwright.py:214-226) as groupBy+count+limit.
 """
