@@ -208,6 +208,12 @@ def bench_crawl_scaling() -> dict:
     n_small, n_big = 1, 4
     seeds = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "800000")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Early exit once a pair clears the criterion with margin: further
+    # reps exist only to ride out host-interference epochs, so a
+    # clearly clean pair makes them redundant (a clean epoch finishes
+    # in one ~9-minute rep; a degraded epoch uses all reps).  The
+    # reported figure is then a LOWER bound on best-paired.
+    good_enough = float(os.environ.get("SPARK_GRAFT_BENCH_EARLY_EXIT", "0.85"))
     thr: dict[int, list[float]] = {n_small: [], n_big: []}
     for rep in range(reps):
         for cores in (n_small, n_big):
@@ -217,6 +223,12 @@ def bench_crawl_scaling() -> dict:
             thr[cores].append(
                 r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
             )
+        if (
+            thr[n_small][-1]
+            and thr[n_big][-1] / thr[n_small][-1] / (n_big / n_small)
+            >= good_enough
+        ):
+            break
     r32 = _run_crawl_subprocess(CPUS, seeds)
     r32["cores"] = CPUS
     out["runs"].append(r32)
