@@ -84,3 +84,24 @@ def test_curation_pipeline_kept_is_conjunction(spark):
         assert r["kept"] == expect, r
         n_kept += r["kept"]
     assert 0 < n_kept < len(rows), "curation gate must be selective"
+
+
+def test_degenerate_docs_never_divide_by_zero(spark):
+    """Empty and single-word texts flow through every curation helper
+    without NULL/NaN blowups (split('') yields [''], so n_words >= 1)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a a a a"), (4, "the a of data join")],
+        "doc_id long, text string",
+    )
+    rep = curation._rep_cols(docs).collect()
+    assert len(rep) == 4
+    for r in rep:
+        assert r["dup_word_ratio"] is not None
+        assert 0.0 <= r["dup_word_ratio"] <= 1.0
+        assert 0.0 <= r["dup_bigram_ratio"] <= 1.0
+    grams = curation._gram_sets(docs).collect()
+    for g in grams:
+        assert len(g["grams"]) >= 1  # short docs hash their whole text
+    by_id = {r["doc_id"]: r for r in rep}
+    assert by_id[3]["dup_word_ratio"] == 0.75  # 'a a a a' -> 3 dups of 4
+    assert by_id[2]["dup_word_ratio"] == 0.0
