@@ -160,18 +160,24 @@ def _turbo_probe() -> dict:
 
     if not os.path.exists("/usr/bin/taskset"):
         return {}
-    solo = _solo()
-    burners = [
-        subprocess.Popen(
-            ["taskset", "-c", str(c), sys.executable, "-c", burn],
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        for c in (1, 2, 3)
-    ]
+    burners = []
     try:
+        solo = _solo()
+        burners = [
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c", burn],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for c in (1, 2, 3)
+        ]
         time.sleep(0.5)  # let the burners saturate their cores
         loaded = _solo()
+    except Exception:
+        # the probe is diagnostic context only — a failed pinned
+        # subprocess (affinity mask excluding core 0, missing numpy)
+        # must never abort the bench itself
+        return {}
     finally:
         for b in burners:
             b.kill()

@@ -48,16 +48,19 @@ def canonicalize_one(url: str, base: str | None = None) -> str | None:
         url = urljoin(base, url)
     try:
         parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https"):
+            return None
+        host = parts.hostname
+        if not host:
+            return None
+        # .hostname parses lazily but .port VALIDATES: a crawled href
+        # with a junk port ("//h:8a/", ":99999") raises ValueError here
+        # — outside the try it would kill the Spark task and the round
+        port = parts.port
     except ValueError:
         return None
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https"):
-        return None
-    host = parts.hostname
-    if not host:
-        return None
     host = host.lower()
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
@@ -175,15 +178,28 @@ def canonicalize_col(url_col, base_col=None):
             u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
         )
     )
-    port = F.regexp_extract(
-        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1
+    # the RAW text after "host:" (not just its numeric prefix): python's
+    # urlsplit().port raises on a non-numeric or >65535 port, which
+    # canonicalize_one maps to None — the JVM path must reject the same
+    # inputs, not silently keep the numeric prefix of ":8a"
+    portish = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?[^/?#:]+:([^/?#]*)", 1
     )
-    is_default = ((scheme == "http") & (port == "80")) | (
-        (scheme == "https") & (port == "443")
+    numericish = portish.rlike(r"^[0-9]{1,5}$")  # bounded: no int overflow
+    port_num = F.when(numericish, portish.cast("int")).otherwise(
+        F.lit(None).cast("int")
+    )
+    port_ok = (portish == "") | (numericish & (port_num <= 65535))
+    is_default = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
     )
     netloc = F.when(
-        (port == "") | is_default, host
-    ).otherwise(F.concat(host, F.lit(":"), port))
+        port_num.isNull() | is_default, host
+    ).otherwise(
+        # numeric reconstruction also normalizes leading zeros (":080"
+        # -> ":80"), matching python's int round-trip
+        F.concat(host, F.lit(":"), port_num.cast("string"))
+    )
     raw_path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
@@ -197,7 +213,9 @@ def canonicalize_col(url_col, base_col=None):
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&"))
     ).otherwise(F.lit(""))
-    valid = scheme.isin("http", "https") & host.isNotNull() & (host != "")
+    valid = (
+        scheme.isin("http", "https") & host.isNotNull() & (host != "") & port_ok
+    )
     return F.when(
         valid, F.concat(scheme, F.lit("://"), netloc, path, qpart)
     ).otherwise(F.lit(None).cast("string"))

@@ -25,6 +25,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from llm_scraper_spark.operators.textstats import (
+    _LANG_EN_SQL,
+    _STOP_SQL,
+    LANG_EN_STOPWORDS,
+    LANG_MIN_HITS,
+    QUALITY_MAX_STOP_RATIO,
+    QUALITY_MIN_MEAN_TOK,
+    QUALITY_MIN_TOKENS,
+    STOPWORDS,
+)
+
 #: word-gram size for decontamination overlap (the 13-gram standard
 #: scaled to the synthetic corpus' ~40-word docs).
 DECON_K = 5
@@ -215,9 +226,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     its curation report).
 
     Only shuffle: the min-doc_id window over the 16-byte md5(text)
-    fingerprint for keep-one dedup."""
-    from llm_scraper_spark.operators.textstats import STOPWORDS
+    fingerprint for keep-one dedup.
 
+    The quality and language gates reuse textstats' shared constants
+    (QUALITY_*/LANG_*) so this pipeline stays semantically identical
+    to text_quality/lang_id on both the Spark and DuckDB sides."""
     rep = _rep_cols(_docs(spark, sf_dir))
     ws = F.col("ws")
     n_tokens = F.size(ws).cast("long")
@@ -228,10 +241,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_tokens.cast("double")
     )
     quality_keep = (
-        (n_tokens >= 20) & (mean_tok >= 3.0) & (stop_ratio <= 0.5)
+        (n_tokens >= QUALITY_MIN_TOKENS)
+        & (mean_tok >= QUALITY_MIN_MEAN_TOK)
+        & (stop_ratio <= QUALITY_MAX_STOP_RATIO)
     ).cast("long")
-    en_hits = F.size(F.filter(ws, lambda w: w.isin(["the", "a", "of"])))
-    lang_keep = (en_hits >= 2).cast("long")
+    en_hits = F.size(F.filter(ws, lambda w: w.isin(LANG_EN_STOPWORDS)))
+    lang_keep = (en_hits >= LANG_MIN_HITS).cast("long")
     rep_keep = (
         (F.col("dup_word_ratio") <= REP_WORD_MAX)
         & (F.col("dup_bigram_ratio") <= REP_BIGRAM_MAX)
@@ -255,8 +270,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return flagged.select("*", kept.alias("kept")).orderBy("doc_id")
 
-
-_STOP_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "of", "data", "join"))
 
 _GRAMS_SQL = f"""
     ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
@@ -348,12 +361,14 @@ ORACLE_SQL = {
         WITH {_REP_SQL},
         flags AS (
           SELECT doc_id,
-                 CAST(CASE WHEN len(w) >= 20
-                        AND CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 3.0
+                 CAST(CASE WHEN len(w) >= {QUALITY_MIN_TOKENS}
+                        AND CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                            >= {QUALITY_MIN_MEAN_TOK}
                         AND CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-                            / CAST(len(w) AS DOUBLE) <= 0.5
+                            / CAST(len(w) AS DOUBLE) <= {QUALITY_MAX_STOP_RATIO}
                        THEN 1 ELSE 0 END AS BIGINT) AS quality_keep,
-                 CAST(CASE WHEN len(list_filter(w, x -> x IN ('the', 'a', 'of'))) >= 2
+                 CAST(CASE WHEN len(list_filter(w, x -> x IN ({_LANG_EN_SQL})))
+                            >= {LANG_MIN_HITS}
                        THEN 1 ELSE 0 END AS BIGINT) AS lang_keep,
                  CAST(CASE WHEN dup_word_ratio <= {REP_WORD_MAX}
                         AND dup_bigram_ratio <= {REP_BIGRAM_MAX}

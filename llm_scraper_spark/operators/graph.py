@@ -201,7 +201,7 @@ ORACLE_SQL = {
         e AS (
           SELECT vid AS src,
                  (vid * 31 + j) % (SELECT n FROM nn) AS dst
-          FROM idx CROSS JOIN (VALUES (1), (2), (3)) AS t(j)),
+          FROM idx CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))}) AS t(j)),
         p0 AS (
           SELECT vid, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
           FROM idx),

@@ -170,13 +170,6 @@ def _seed_cents(vecs: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign(vecs: DataFrame) -> DataFrame:
-    """IVF coarse quantizer against the seed codebook: broadcast join
-    against the tiny centroid table + a per-vector argmax window —
-    one corpus scan, no corpus shuffle beyond the rank partition."""
-    return _assign_to(vecs, _seed_cents(vecs))
-
-
 def _ivf_serve(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """IVF-ANN serving against an arbitrary (cell, c_qe, c_norm2)
     codebook — shared by the seed-codebook and trained-codebook query

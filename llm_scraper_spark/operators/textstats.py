@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 STOPWORDS = ["the", "a", "of", "data", "join"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+#: quality-gate thresholds and the language-ID rule — the single
+#: source of truth for text_quality / lang_id here AND the composed
+#: curation pipeline (operators/curation.py), Spark and DuckDB sides
+#: alike: a threshold edit propagates to every gate and every oracle.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_MEAN_TOK = 3.0
+QUALITY_MAX_STOP_RATIO = 0.5
+LANG_EN_STOPWORDS = ["the", "a", "of"]
+_LANG_EN_SQL = ", ".join(f"'{w}'" for w in LANG_EN_STOPWORDS)
+LANG_MIN_HITS = 2
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -36,7 +47,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_tok = n_chars.cast("double") / n_tokens.cast("double")
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
     quality = (
-        F.when((n_tokens >= 20) & (mean_tok >= 3.0) & (stop_ratio <= 0.5), F.lit(1))
+        F.when(
+            (n_tokens >= QUALITY_MIN_TOKENS)
+            & (mean_tok >= QUALITY_MIN_MEAN_TOK)
+            & (stop_ratio <= QUALITY_MAX_STOP_RATIO),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .cast("long")
     )
@@ -57,10 +73,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic token test so both engines agree."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    en_hits = F.size(F.filter(words, lambda w: w.isin(["the", "a", "of"]))).cast(
-        "long"
-    )
-    pred = F.when(en_hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+    en_hits = F.size(
+        F.filter(words, lambda w: w.isin(LANG_EN_STOPWORDS))
+    ).cast("long")
+    pred = F.when(en_hits >= LANG_MIN_HITS, F.lit("en")).otherwise(F.lit("other"))
     return docs.select(
         "doc_id",
         "lang",
@@ -210,22 +226,22 @@ ORACLE_SQL = {
                CAST(n_chars_calc AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_token_len,
                n_stopwords,
                CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-               CAST(CASE WHEN n_tokens >= 20
-                          AND CAST(n_chars_calc AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 3.0
-                          AND CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= 0.5
+               CAST(CASE WHEN n_tokens >= {QUALITY_MIN_TOKENS}
+                          AND CAST(n_chars_calc AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= {QUALITY_MIN_MEAN_TOK}
+                          AND CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= {QUALITY_MAX_STOP_RATIO}
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM t ORDER BY doc_id
     """,
-    "lang_id": """
+    "lang_id": f"""
         WITH t AS (
           SELECT doc_id, lang,
                  CAST(len(list_filter(string_split(text, ' '),
-                      w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS en_stopword_hits
+                      w -> w IN ({_LANG_EN_SQL}))) AS BIGINT) AS en_stopword_hits
           FROM documents
         )
         SELECT doc_id, lang, en_stopword_hits,
-               CASE WHEN en_stopword_hits >= 2 THEN 'en' ELSE 'other' END AS pred_lang,
-               (CASE WHEN en_stopword_hits >= 2 THEN 'en' ELSE 'other' END) = lang AS agrees
+               CASE WHEN en_stopword_hits >= {LANG_MIN_HITS} THEN 'en' ELSE 'other' END AS pred_lang,
+               (CASE WHEN en_stopword_hits >= {LANG_MIN_HITS} THEN 'en' ELSE 'other' END) = lang AS agrees
         FROM t ORDER BY doc_id
     """,
     "token_count_bpe": """

@@ -9,7 +9,13 @@ The 100 TB discipline, enforced mechanically:
   scans for representative queries (a scan that reads all columns for
   a 2-column projection is wrong even when results match).
 
-Plans are compiled, not executed — the sweep costs seconds.
+Batch-query plans are compiled, not executed.  Streaming keys are
+EXCLUDED from the generic sweep — calling them drains a real stream
+and the resulting memory-sink scan is not the plan under test — and
+linted instead via their builder functions applied to a batch frame,
+which yields the actual join/aggregate shape.  Two iterative keys
+(dedup_clusters, link_pagerank_topk) execute bounded sf0.001 work to
+build their plans; that is inherent to fixpoint/driver-loop operators.
 """
 
 from __future__ import annotations
@@ -41,7 +47,9 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(entry.queries()))
+@pytest.mark.parametrize(
+    "name", sorted(k for k in entry.queries() if not k.startswith("stream_"))
+)
 def test_no_cartesian_and_bnlj_only_where_bounded(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
@@ -50,6 +58,25 @@ def test_no_cartesian_and_bnlj_only_where_bounded(spark, name):
             f"{name}: BroadcastNestedLoopJoin with no documented bounded "
             "build side — add a justification or fix the join"
         )
+
+
+def test_streaming_builders_plan_clean_in_batch_shape(spark):
+    """The streaming jobs' REAL dataflow shapes, linted by applying
+    each builder to a batch events frame (stream drains would hide the
+    join/aggregate plan behind a memory-sink scan).  The stream-stream
+    join must plan as an equi-join on user_id (the time bounds ride as
+    a range condition), never a cartesian/BNLJ."""
+    from llm_scraper_spark.streaming import jobs
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for builder in (
+        jobs.view_purchase_join_stream,
+        jobs.windowed_counts_stream,
+        jobs.stateful_dedup_stream,
+    ):
+        plan = builder(events)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, builder.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, builder.__name__
 
 
 def _scan_lines(plan: str, table: str) -> list[str]:

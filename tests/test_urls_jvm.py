@@ -29,6 +29,16 @@ NASTY = [
     "not a url",
     "/relative/only",
     "https://h.example.com/percent%20enc?x=%20",
+    # adversarial ports: urlsplit().port raises on malformed or
+    # out-of-range values — both engines must map these to None
+    "http://h.example.com:8a/x",
+    "http://h.example.com:99999/",
+    "http://h.example.com:65536/",
+    "http://h.example.com:999999999999999/x",
+    "http://h.example.com:65535/ok",
+    "http://h.example.com:080/x",
+    "http://h.example.com:0/x",
+    "http://h.example.com:/empty-port",
 ]
 
 

@@ -29,7 +29,14 @@ _urlish = st.builds(
     ),
     _scheme,
     _host,
-    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(
+        [
+            "", ":80", ":443", ":8080", ":0", ":080", ":65535",
+            # malformed / out-of-range: urlsplit().port raises on these,
+            # canonicalize must map them to None, never crash
+            ":8a", ":99999", ":65536", ":999999999999999", ":",
+        ]
+    ),
     _path,
     st.lists(_param, max_size=5),
     st.sampled_from(["", "#frag", "#a/b?c"]),
