@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -117,8 +118,17 @@ def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
         "--rounds",
         "2",
     ]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+    taskset = shutil.which("taskset")
+    if taskset:
+        cmd = [taskset, "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+    else:
+        # pinning is what makes the two-level comparison honest; never
+        # skip it silently (an unpinned 1-core level borrows the whole
+        # host for GC/JIT/python workers and fakes a low efficiency)
+        raise RuntimeError(
+            "taskset not found — cannot CPU-pin the scaling levels; "
+            "install util-linux or run with SPARK_GRAFT_SKIP_CRAWL=1"
+        )
     proc = subprocess.run(
         cmd,
         capture_output=True,
@@ -158,7 +168,7 @@ def _turbo_probe() -> dict:
         )
         return float(p.stdout.strip().splitlines()[-1])
 
-    if not os.path.exists("/usr/bin/taskset"):
+    if not shutil.which("taskset"):
         return {}
     burners = []
     try:

@@ -191,30 +191,19 @@ def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     copied per row.  At true 10^10 scale the bitmap is sharded by hash
     range (multiple rows keyed by shard, equi-joined on
     ``hash % n_shards``) — same code path, more rows."""
-    import os
-    import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     words = np.asarray(bloom.words, dtype=np.uint64).view(np.int64)
+    import pyarrow as pa
+
     arr = pa.array([words], type=pa.list_(pa.int64()))
     table = pa.Table.from_arrays([arr], names=["_bloom_arr"])
-    fd, path = tempfile.mkstemp(suffix=".parquet", prefix="bloom_bitmap_")
-    os.close(fd)
-    pq.write_table(table, path, compression="snappy")
-    return spark.read.schema("_bloom_arr array<bigint>").parquet(path)
+    return _ship_table(spark, table, "_bloom_arr array<bigint>")
 
 
 def sharded_bitmap_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
     """All shard bitmaps as ``(_bloom_shard bigint, _bloom_arr
     array<bigint>)`` — one row per shard, same parquet ship path as
     ``bitmap_df``; the probe equi-joins on the shard key."""
-    import os
-    import tempfile
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     shard_ids = pa.array(range(bloom.n_shards), type=pa.int64())
     arrs = pa.array(
@@ -222,12 +211,50 @@ def sharded_bitmap_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
         type=pa.list_(pa.int64()),
     )
     table = pa.Table.from_arrays([shard_ids, arrs], names=["_bloom_shard", "_bloom_arr"])
-    fd, path = tempfile.mkstemp(suffix=".parquet", prefix="bloom_shards_")
-    os.close(fd)
+    return _ship_table(spark, table, "_bloom_shard bigint, _bloom_arr array<bigint>")
+
+
+#: process-lifetime staging dir for bitmap ships — created lazily,
+#: removed at interpreter exit.  Each ship writes a fresh file and
+#: deletes all but the 2 most recent (the previous round's bitmap may
+#: still be lazily referenced until its round commits), so a
+#: multi-hundred-round crawl holds at most 2 bitmap files instead of
+#: leaking one per round.  ``SPARK_GRAFT_BLOOM_STAGE_DIR`` overrides
+#: the location for real clusters, where the stage dir must live on a
+#: filesystem the executors can read (HDFS/NFS/object-store mount) —
+#: a driver-local /tmp path only works in local mode.
+_STAGE_DIR: list[str | None] = [None]
+_STAGE_SEQ: list[int] = [0]
+
+
+def _ship_table(spark: SparkSession, table, schema: str) -> DataFrame:
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    if _STAGE_DIR[0] is None:
+        env = os.environ.get("SPARK_GRAFT_BLOOM_STAGE_DIR")
+        if env:
+            os.makedirs(env, exist_ok=True)
+            _STAGE_DIR[0] = env
+        else:
+            _STAGE_DIR[0] = tempfile.mkdtemp(prefix="bloom_stage_")
+            atexit.register(shutil.rmtree, _STAGE_DIR[0], ignore_errors=True)
+    _STAGE_SEQ[0] += 1
+    path = os.path.join(_STAGE_DIR[0], f"bloom_{_STAGE_SEQ[0]:08d}.parquet")
     pq.write_table(table, path, compression="snappy")
-    return spark.read.schema(
-        "_bloom_shard bigint, _bloom_arr array<bigint>"
-    ).parquet(path)
+    for old in sorted(glob.glob(os.path.join(_STAGE_DIR[0], "bloom_*.parquet")))[
+        :-2
+    ]:
+        try:
+            os.remove(old)
+        except OSError:
+            pass
+    return spark.read.schema(schema).parquet(path)
 
 
 def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":

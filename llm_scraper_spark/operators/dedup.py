@@ -137,7 +137,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- minhash
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup: shingle → 8 minhashes → 4 band
     keys → bucket self-join → exact-Jaccard verification of candidates.
 
@@ -146,6 +146,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at MAX_BUCKET members before the self-join — the window
     count partitions on the same (band, bkey) key the join shuffles
     on, so the cap adds no extra shuffle — the 100 TB-safe plan.
+
+    UNSORTED: internal consumers (dedup_clusters) repartition by their
+    own keys immediately, so the driver-gate global sort lives only in
+    the public ``dedup_minhash_lsh`` wrapper.
+
+    Cache lifetime: the persists below are not explicitly unpersisted —
+    Spark's CacheManager keys entries by canonicalized logical plan, so
+    repeated invocations of the same query over the same sf_dir REUSE
+    one entry (growth is bounded by distinct (query, input) pairs, not
+    call count); entries release on session stop or LRU pressure.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -220,8 +230,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for `_minhash_pairs` — adds the deterministic
+    output order the oracle compare expects."""
+    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------------ ngram jaccard
@@ -469,6 +484,7 @@ def connected_components(
         .select("vertex", F.col("vertex").alias("component"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.e_dst == labels.vertex)
@@ -496,6 +512,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Returning here would silently hand back SPLIT components
+        # (labels one hop short of the fixpoint) — wrong canonical ids
+        # with no signal.  A component diameter over max_iter means the
+        # hash-min variant is the wrong tool; switch to large-star/
+        # small-star (see docstring) rather than raising the cap.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing)"
+        )
     return labels
 
 
@@ -511,7 +537,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the scale-path extension."""
     from pyspark.sql import Window
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(pairs)
     return (
         cc.select(

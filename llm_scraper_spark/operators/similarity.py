@@ -372,6 +372,12 @@ def ivf_train_kmeans(
                     "c_qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x
                 ),
             )
+            # materialize the k tiny centroid rows and CUT the lineage:
+            # without this every downstream consumer (next iteration,
+            # serving join, per-cell counts) re-executes the whole
+            # O(corpus×k) assign+sum pipeline — Catalyst does not
+            # dedupe common subtrees across actions
+            .localCheckpoint()
         )
     return cents, assigned
 

@@ -233,7 +233,12 @@ def w4_span_dedup(spark, sf_dir: str) -> DataFrame:
     no Spark in the oracle path), and the result collapses to one row
     whose expected values the DuckDB twin computes independently:
     ``n_docs`` from the documents table, ``n_mismatch`` as the literal
-    0.  Any Spark/oracle divergence makes the value-hash compare fail."""
+    0.  Any Spark/oracle divergence makes the value-hash compare fail.
+
+    Scale caveat (deliberate): the embedded pure-Python oracle reads
+    the table on the driver and is O(corpus) single-threaded — this
+    query is a GATE that runs at oracle SF only; a production pipeline
+    calls ``dedup_spans`` (the distributed half) directly."""
     src = synth_span_docs(spark, sf_dir)
     kept = dedup_spans(src).select("doc_id", F.size("spans").alias("n_kept"))
     exp_rows = []
@@ -269,7 +274,9 @@ def extract_triplet_pipeline(spark, sf_dir: str) -> DataFrame:
     self-checking: the full Spark triplet multiset is full-outer
     compared (per-triplet counts) against the pure-Python
     ``extract_triplets_doc`` oracle over ``synth_span_docs_py`` input,
-    and the DuckDB twin pins ``n_docs`` + the literal ``n_mismatch=0``."""
+    and the DuckDB twin pins ``n_docs`` + the literal ``n_mismatch=0``.
+    Gate-only, like ``w4_span_dedup``: the embedded oracle is driver-
+    side O(corpus); production calls ``extract_triplets`` directly."""
     from .extract import extract_triplets, extract_triplets_doc
 
     docs = synth_span_docs(spark, sf_dir, extra_words=True)
