@@ -9,10 +9,15 @@ and DuckDB.  Hyperplane signs are derived once in Python from md5 and
 embedded as literals in both the Spark plan and the oracle SQL.
 
 Scale path (100 TB): brute force is O(queries × corpus) — fine for a
-broadcast query set, quadratic for all-pairs.  The LSH variant buckets
-vectors by 8 hyperplane sign bits; candidate generation is a bucket
-equi-join (shuffle on an 8-bit key + salt), turning all-pairs into
-per-bucket work.  An IVF variant would swap the bucket key for a
+broadcast query set, quadratic for all-pairs.  The LSH variant is
+banded multi-table hyperplane LSH: N_BANDS independent tables, each
+keyed by N_PLANES sign bits (4 × 16 here — 65k keys per band, raise
+N_PLANES for a bigger corpus); candidates are the union of per-band
+bucket equi-joins, and every (band, bucket) is capped at MAX_BUCKET
+members before any join (window count on the join key itself, no
+extra shuffle) so a degenerate bucket can never go quadratic — the
+same hot-bucket guard the minhash/simhash text paths use
+(dedup.py MAX_BUCKET).  An IVF variant swaps the bucket key for a
 centroid id — same join shape.
 """
 
@@ -22,21 +27,29 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 DIM = 64
-N_PLANES = 8
+N_PLANES = 16   # sign bits per band → 2^16 bucket keys per band
+N_BANDS = 4     # independent LSH tables (bands)
 TOP_K = 3
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_CELLS = 8     # IVF coarse cells (centroids)
 N_PROBE = 2     # IVF cells probed per query
 NEAR_DUP_COS = 0.95
+#: Hot-bucket cap, same rationale as dedup.MAX_BUCKET: a (band,
+#: bucket) with B vectors yields O(B²) candidate pairs; buckets larger
+#: than this are dropped from the candidate join, bounding per-bucket
+#: work at O(cap²) even on a degenerate (all-zeros / boilerplate
+#: embedding) shard.
+MAX_BUCKET = 64
 
 
 def _plane_signs() -> list[list[int]]:
-    """8 deterministic ±1 hyperplanes from md5 — one source of truth
-    for both engines (embedded as literals in SQL)."""
+    """N_BANDS × N_PLANES deterministic ±1 hyperplanes from md5 — one
+    source of truth for both engines (embedded as literals in SQL)."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(N_BANDS * N_PLANES):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
@@ -109,38 +122,99 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucket assignment: 8 sign bits per vector —
-    integer projections, JVM-side, no UDF."""
-    vecs = _quantized(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(s) for s in PLANES[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("qe"), plane, lambda x, s: x * s),
+def _band_keys():
+    """Array of all N_BANDS bucket keys (N_PLANES sign bits each) over
+    column ``qe`` — one corpus scan computes every band.
+
+    Expression-size discipline: the 64 hyperplanes enter the plan as a
+    SINGLE nested-array literal (one Catalyst node), and the per-plane
+    dot products are higher-order functions over index sequences — the
+    first cut inlined one 64-element literal array per plane (4096-node
+    trees) and Catalyst analysis alone cost ~20 s per query."""
+    planes_lit = F.lit(PLANES)
+    bits = F.lit([1 << j for j in range(N_PLANES)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
             F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+            lambda acc, j: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"),
+                        F.element_at(planes_lit, b * N_PLANES + j + 1),
+                        lambda x, s: x * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a2, x: a2 + x,
+                )
+                > 0,
+                F.element_at(bits, j + 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def _capped_band_rows(vecs: DataFrame) -> DataFrame:
+    """(vec_id, band, bkey) rows for all N_BANDS tables, with every
+    (band, bkey) bucket larger than MAX_BUCKET dropped.  The window
+    count partitions on the same key the candidate join shuffles on,
+    so the cap adds no extra shuffle; persisted because both self-join
+    sides (or the query and corpus sides) re-read it."""
+    bands = vecs.select(
+        "vec_id", F.posexplode(_band_keys()).alias("band", "bkey")
+    ).select("vec_id", F.col("band").cast("long").alias("band"), "bkey")
+    return (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0).cast("long")
-    return vecs.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .drop("bsz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH index table: N_BANDS band keys of N_PLANES sign
+    bits per vector — integer projections, JVM-side, no UDF.  This is
+    the materialized index `ann_lsh_topk` probes (pre-cap)."""
+    vecs = _quantized(spark, sf_dir)
+    return (
+        vecs.select("vec_id", "label", F.posexplode(_band_keys()).alias("band", "bucket"))
+        .select("vec_id", "label", F.col("band").cast("long").alias("band"), "bucket")
+        .orderBy("vec_id", "band")
+    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, then
-    exact cosine rank within bucket — the join is on the bucket key, so
-    cost scales with bucket occupancy, not corpus²."""
+    """ANN top-k via banded multi-table LSH: candidates are the union
+    over N_BANDS tables of the query's bucket-mates (capped buckets
+    dropped), then exact cosine rank within the candidate set.  Every
+    join is an equi-join on (band, bkey), so cost scales with capped
+    bucket occupancy — never corpus²."""
     vecs = _quantized(spark, sf_dir)
-    with_bucket = ann_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    v = vecs.join(with_bucket, "vec_id")
-    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+    banded = _capped_band_rows(vecs)
+    qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    pairs = (
+        banded.join(
+            F.broadcast(qb),
+            ["band", "bkey"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()  # a neighbor may share several bands with the query
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qe").alias("q_qe"),
         F.col("norm2").alias("q_norm2"),
-        F.col("bucket").alias("q_bucket"),
     )
-    cands = v.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    scored = (
+        pairs.join(vecs, pairs.neighbor_id == vecs.vec_id)
+        .join(F.broadcast(queries), "query_id")
     )
     dot = _dot("q_qe", "qe")
     cos = dot.cast("double") / (
@@ -148,9 +222,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cands.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
-        )
+        scored.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
@@ -240,9 +312,14 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: corpus ∪ deterministic
     copies (exact for vec_id%13==0, tiny-perturbed for vec_id%9==0),
-    blocked by the 8-bit hyperplane bucket, exact cosine ≥ NEAR_DUP_COS
-    within blocks.  Blocking keeps the pair join linear in bucket
-    occupancy — the all-pairs cosine join is never materialized."""
+    blocked by banded multi-table hyperplane LSH (N_BANDS × N_PLANES
+    sign bits, capped buckets), exact cosine ≥ NEAR_DUP_COS on the
+    distinct candidate pairs.  A true near-dup (cosine → 1) agrees on
+    essentially every plane, so it collides in every uncapped band; the
+    all-pairs cosine join is never materialized, and no single bucket
+    can exceed MAX_BUCKET members — the blocked replacement for the
+    reference's row-local fuzzy compare (content_cleaner.py:8-24) at
+    corpus scale."""
     vecs = _quantized(spark, sf_dir)
     exact = vecs.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "label", "qe", "norm2"
@@ -261,21 +338,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
         )
     )
-    aug = vecs.unionByName(exact).unionByName(perturbed)
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(s) for s in PLANES[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("qe"), plane, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # persisted: read by the band-row builder and by both pair-side
+    # join-backs below (one short row per vector)
+    aug = (
+        vecs.unionByName(exact)
+        .unionByName(perturbed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = _capped_band_rows(aug)
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0).cast("long")
-    b = aug.withColumn("bucket", bucket)
-    pairs = b.alias("x").join(
-        b.alias("y"),
-        (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()  # a pair may collide in several bands
     )
     dot = F.aggregate(
         F.zip_with(F.col("x.qe"), F.col("y.qe"), lambda a_, b_: a_ * b_),
@@ -286,11 +368,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("x.norm2").cast("double")) * F.sqrt(F.col("y.norm2").cast("double"))
     )
     return (
-        pairs.select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        cand.join(aug.alias("x"), F.col("vec_a") == F.col("x.vec_id"))
+        .join(aug.alias("y"), F.col("vec_b") == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .orderBy("vec_a", "vec_b")
     )
@@ -443,11 +523,42 @@ def _planes_sql(p: int) -> str:
     return "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN CAST(list_sum(list_transform(range(1, {DIM + 1}), "
-    f"i -> qe[i] * ({_planes_sql(p)})[i])) AS BIGINT) > 0 THEN {1 << p} ELSE 0 END)"
-    for p in range(N_PLANES)
+#: The 64 hyperplanes as ONE SQL list-of-lists literal — referenced a
+#: single time per query (the first cut inlined one 64-int list per
+#: plane per band branch: ~300 KB of SQL the parser chewed on).
+_PLANES_SQL_LIT = (
+    "[" + ", ".join("[" + ", ".join(str(s) for s in row) + "]" for row in PLANES) + "]"
 )
+
+#: DuckDB twin of one element of `_band_keys()`: the N_PLANES-bit key
+#: for band ``b.band`` over ``s.qe``, planes taken from ``pl.P``.
+_BKEY_SQL = (
+    f"CAST(list_sum(list_transform(range(1, {N_PLANES + 1}), j -> "
+    f"CASE WHEN CAST(list_sum(list_transform(range(1, {DIM + 1}), "
+    f"i -> s.qe[i] * pl.P[b.band * {N_PLANES} + j][i])) AS BIGINT) > 0 "
+    f"THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+_PLANE_CTES = f"""
+        planes AS (SELECT {_PLANES_SQL_LIT} AS P),
+        bandids AS (SELECT CAST(unnest(range(0, {N_BANDS})) AS BIGINT) AS band)"""
+
+
+def _banded_sql(src: str) -> str:
+    """DuckDB twin of `_capped_band_rows` over CTE ``src`` — emits the
+    ``bands_all`` (pre-cap) and ``bands`` (capped) CTE bodies."""
+    return f"""
+        {_PLANE_CTES},
+        bands_all AS (
+          SELECT s.vec_id, b.band, {_BKEY_SQL} AS bkey
+          FROM {src} s CROSS JOIN planes pl CROSS JOIN bandids b
+        ),
+        bands AS (
+          SELECT vec_id, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bands_all
+          ) WHERE bsz <= {MAX_BUCKET}
+        )"""
 
 def _kmeans_iter_sql(i: int) -> str:
     """One unrolled Lloyd's iteration: assign against codebook c{i-1},
@@ -579,28 +690,35 @@ ORACLE_SQL = {
         SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
     """,
     "ann_lsh_buckets": f"""
-        WITH {_QUANT_SQL}
-        SELECT vec_id, label, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-        FROM qn ORDER BY vec_id
+        WITH {_QUANT_SQL},
+        {_PLANE_CTES}
+        SELECT s.vec_id, s.label, b.band, {_BKEY_SQL} AS bucket
+        FROM qn s CROSS JOIN planes pl CROSS JOIN bandids b
+        ORDER BY vec_id, band
     """,
     "ann_lsh_topk": f"""
         WITH {_QUANT_SQL},
-        b AS (
-          SELECT vec_id, qe, norm2, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM qn
+        {_banded_sql("qn")},
+        cand AS (
+          SELECT DISTINCT q2.vec_id AS query_id, v.vec_id AS neighbor_id
+          FROM bands q2 JOIN bands v
+            ON v.band = q2.band AND v.bkey = q2.bkey AND v.vec_id <> q2.vec_id
+          WHERE q2.vec_id < {N_QUERIES}
         ),
-        pairs AS (
-          SELECT q2.vec_id AS query_id, v.vec_id AS neighbor_id,
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
                  CAST(list_sum(list_transform(range(1, {DIM + 1}),
                       i -> q2.qe[i] * v.qe[i])) AS DOUBLE)
                  / (sqrt(CAST(q2.norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS cosine
-          FROM b q2 JOIN b v ON v.bucket = q2.bucket AND v.vec_id <> q2.vec_id
-          WHERE q2.vec_id < {N_QUERIES}
+          FROM cand c
+          JOIN qn q2 ON q2.vec_id = c.query_id
+          JOIN qn v ON v.vec_id = c.neighbor_id
         ),
         ranked AS (
           SELECT query_id, neighbor_id, cosine,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-          FROM pairs
+          FROM scored
         )
         SELECT * FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
     """,
@@ -639,15 +757,20 @@ ORACLE_SQL = {
                  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2
           FROM pert
         ),
-        b AS (
-          SELECT vec_id, qe, norm2, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM aug
+        {_banded_sql("aug")},
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
         ),
         pairs AS (
-          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+          SELECT c.vec_a, c.vec_b,
                  CAST(list_sum(list_transform(range(1, {DIM + 1}),
                       i -> x.qe[i] * y.qe[i])) AS DOUBLE)
                  / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))) AS cosine
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          FROM cand c
+          JOIN aug x ON x.vec_id = c.vec_a
+          JOIN aug y ON y.vec_id = c.vec_b
         )
         SELECT vec_a, vec_b, cosine FROM pairs
         WHERE cosine >= {NEAR_DUP_COS} ORDER BY vec_a, vec_b
