@@ -46,6 +46,10 @@ REP_WORD_MAX = 0.60
 REP_BIGRAM_MAX = 0.30
 #: per-language quota for the stratified sample.
 STRATA_N = 20
+#: the hash-threshold pre-filter keeps ~SAMPLE_MARGIN × STRATA_N docs
+#: per stratum before the exact rank (P(undershoot) ≈ e^-50 per
+#: stratum at margin 4; the exactness guard below catches even that).
+SAMPLE_MARGIN = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +174,40 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: 32-bit value of the first 8 hex chars of md5(doc_id) — hex digits
+#: are ascii-ordered, so prefix-value order agrees with the full-md5
+#: lexicographic order the rank uses.
+_H_PREFIX = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+
+
+def _sample_survivors(docs: DataFrame):
+    """Hash-threshold pre-filter for the stratified sample: per
+    stratum, keep only docs whose 32-bit hash prefix falls below
+    t_s = ceil(SAMPLE_MARGIN × STRATA_N × 2^32 / n_s) — in expectation
+    SAMPLE_MARGIN × STRATA_N survivors per stratum regardless of
+    stratum size, so the exact rank never sorts a dominant language.
+    Returns (survivors, thresholds); survivors is persisted (it feeds
+    the exactness check and the final rank)."""
+    from pyspark.storagelevel import StorageLevel
+
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    budget = (SAMPLE_MARGIN * STRATA_N) << 32
+    thr = counts.select(
+        "lang",
+        "n_s",
+        F.expr(
+            f"cast(least({1 << 32}, ({budget} + n_s - 1) div n_s) as bigint)"
+        ).alias("h_thresh"),
+    )
+    surv = (
+        docs.join(F.broadcast(thr.select("lang", "h_thresh")), "lang")
+        .filter(F.expr(_H_PREFIX) < F.col("h_thresh"))
+        .drop("h_thresh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return surv, thr
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample: top STRATA_N docs per
     lang ordered by md5(doc_id) — the language/source-mix rebalancing
@@ -177,17 +215,41 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and runs (the same trick as o4_seeded_sample); the window
     shuffles (lang, hash) pairs only.
 
-    Scale note: rank-per-stratum sorts each stratum, so a dominant
-    language is a skewed sort at 100 TB.  The scale path prepends a
-    hash-threshold pre-filter (keep md5(doc_id) < t where t generously
-    over-covers STRATA_N/|stratum|, estimated from a count or sample)
-    so the exact rank runs on survivors only — same output, bounded
-    sort."""
-    docs = _docs(spark, sf_dir)
+    Scale shape: rank-per-stratum sorts each stratum, so a dominant
+    language would be one skewed sort task at 100 TB.  The hash-
+    threshold pre-filter (`_sample_survivors`) bounds the rank input
+    at ~SAMPLE_MARGIN × STRATA_N rows per stratum, and the result is
+    PROVABLY identical to ranking the full stratum: a stratum with
+    ≥ STRATA_N survivors has its true top-STRATA_N among them (every
+    non-survivor's hash exceeds every survivor's), and the exactness
+    guard below falls back to the full stratum for any stratum the
+    filter under-covered (a one-row-per-language driver check; at
+    margin 4 the fallback fires with probability ≈ e^-50 per
+    stratum)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    surv, thr = _sample_survivors(docs)
+    per = (
+        thr.join(
+            surv.groupBy("lang").agg(F.count("*").alias("n_surv")), "lang", "left"
+        )
+        .select("lang", "n_s", F.coalesce("n_surv", F.lit(0)).alias("n_surv"))
+    )
+    # bounded driver-side collect: one row per under-covered LANGUAGE
+    # (a stratum is fine if it kept ≥ STRATA_N docs or kept them all)
+    bad = [
+        r["lang"]
+        for r in per.filter(
+            (F.col("n_surv") < STRATA_N) & (F.col("n_surv") < F.col("n_s"))
+        ).collect()
+    ]
+    if bad:
+        surv = surv.filter(~F.col("lang").isin(bad)).unionByName(
+            docs.filter(F.col("lang").isin(bad))
+        )
     h = F.md5(F.col("doc_id").cast("string"))
     rn = F.row_number().over(Window.partitionBy("lang").orderBy(h.asc()))
     return (
-        docs.select("doc_id", "lang", "source", rn.alias("sample_rank"))
+        surv.select("doc_id", "lang", "source", rn.alias("sample_rank"))
         .filter(F.col("sample_rank") <= STRATA_N)
         .orderBy("lang", "sample_rank")
     )

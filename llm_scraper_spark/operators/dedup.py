@@ -446,6 +446,98 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- connected components
+def _star_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log² n)-round algorithm that closes components of ANY diameter,
+    used as the fallback when hash-min's diameter-bounded propagation
+    hits its iteration cap on an adversarially long dup chain.
+
+    Per round, two edge rewrites, each one groupBy + join (O(edges)):
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): every neighbor v < u, and u itself, re-attach
+      to m.
+    Both preserve connectivity (old neighbors stay linked through m),
+    strictly shrink the potential Σ labels, and their fixpoint is a
+    set of stars centered at each component's minimum vertex.  Edges
+    stay canonically (larger, smaller); ``localCheckpoint`` cuts the
+    per-round lineage like the hash-min loop does.
+
+    Returns (vertex, component) with component = min vertex id.
+    """
+    verts = (
+        pairs.select(F.col(src).alias("vertex"))
+        .unionByName(pairs.select(F.col(dst).alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("w"),
+        )
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _mins(e: DataFrame) -> DataFrame:
+        """m(u) = min(Γ(u) ∪ {u}) over the symmetric neighborhood."""
+        nb = e.unionByName(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        m = nb.groupBy("u").agg(F.min("w").alias("mw")).select(
+            "u", F.least(F.col("mw"), F.col("u")).alias("m")
+        )
+        return nb, m
+
+    for _ in range(max_iter):
+        # large-star: (v, m_u) for v ∈ Γ(u), v > u
+        nb, m = _mins(edges)
+        edges2 = (
+            nb.filter(F.col("w") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: (v, m_u) for v ∈ Γ(u), v < u, plus (u, m_u)
+        nb2, m2 = _mins(edges2)
+        smaller = (
+            nb2.filter(F.col("w") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+        )
+        self_att = m2.select("u", F.col("m").alias("w"))
+        new_edges = (
+            smaller.unionByName(self_att)
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.join(edges, ["u", "w"], "left_anti").isEmpty()
+        )
+        edges = new_edges
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"_star_components did not converge in {max_iter} rounds"
+        )
+    star = edges.select(F.col("u").alias("vertex"), F.col("w").alias("component"))
+    return (
+        verts.join(star, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce(F.col("component"), F.col("vertex")).alias("component"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
 ) -> DataFrame:
@@ -462,9 +554,11 @@ def connected_components(
     ``localCheckpoint`` truncates the otherwise exponentially growing
     lineage each round (on a real cluster use a reliable
     ``checkpoint()`` dir instead — localCheckpoint pins executors).
-    This is the hash-min algorithm; the O(log² n)-round large-star /
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") drops in for adversarially long chains.
+    This is the hash-min algorithm — rounds ≤ diameter, cheapest on
+    the dense, shallow components near-dup pairs produce; if a
+    component's diameter exceeds ``max_iter`` the loop hands off to
+    `_star_components` (large-star/small-star, O(log² n) rounds at
+    any diameter) instead of raising or returning split labels.
 
     Returns (vertex, component) with component = min vertex id reached.
     """
@@ -515,13 +609,11 @@ def connected_components(
     if changed != 0:
         # Returning here would silently hand back SPLIT components
         # (labels one hop short of the fixpoint) — wrong canonical ids
-        # with no signal.  A component diameter over max_iter means the
-        # hash-min variant is the wrong tool; switch to large-star/
-        # small-star (see docstring) rather than raising the cap.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing)"
-        )
+        # with no signal.  A component diameter over max_iter means
+        # hash-min is the wrong tool: fall back to large-star/
+        # small-star, which converges in O(log² n) rounds regardless
+        # of diameter.
+        return _star_components(pairs, src, dst)
     return labels
 
 

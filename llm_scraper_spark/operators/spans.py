@@ -224,42 +224,96 @@ def w1_heading_fold(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: target size of the deterministic check subset the self-checking
+#: gates below run on: every K-th doc with K = max(1, n_docs // 500),
+#: computed identically in Python (pyarrow count), Spark, and the
+#: DuckDB twin.  The checked logic is doc-local, so a fixed-size
+#: stratified subset exercises every code path while keeping the
+#: driver-side oracle O(CHECK_N) — never O(corpus) — at any SF.
+CHECK_N = 500
+
+
+def _check_mod(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(1, n // CHECK_N)
+
+
+def _hash40(s: str) -> int:
+    """40-bit md5 prefix — the same value Spark computes as
+    ``conv(substr(md5(s), 1, 10), 16, 10)``; summing ≤ CHECK_N of
+    them stays far below 2^63 (order-independent multiset checksum,
+    the doc_fingerprint xor-fold trick)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+
+_H40_SPARK = "cast(conv(substr(md5({s}), 1, 10), 16, 10) as bigint)"
+
+
+#: Twin of the gate shell: n_docs/n_checked from the documents table
+#: (K re-derived with the same max(1, n // CHECK_N) formula
+#: `_check_mod` uses), n_mismatch pinned to the literal 0.
+_GATE_SQL = f"""
+    WITH kk AS (SELECT greatest(1, count(*) // {CHECK_N}) AS k FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (doc_id % (SELECT k FROM kk) = 0) AS BIGINT)
+             AS n_checked,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM documents
+"""
+
+
 def w4_span_dedup(spark, sf_dir: str) -> DataFrame:
     """W4: first-wins fuzzy span dedup (content_cleaner.py:8-24,
     threshold-90 Indel).  Indel scoring has no SQL form, so the driver
-    gate is SELF-CHECKING: the Spark UDF's per-doc kept-counts are
-    compared against an independent pure-Python oracle (pyarrow input
-    via ``synth_span_docs_py`` + the shared ``deduplicate_fields`` —
-    no Spark in the oracle path), and the result collapses to one row
-    whose expected values the DuckDB twin computes independently:
-    ``n_docs`` from the documents table, ``n_mismatch`` as the literal
-    0.  Any Spark/oracle divergence makes the value-hash compare fail.
-
-    Scale caveat (deliberate): the embedded pure-Python oracle reads
-    the table on the driver and is O(corpus) single-threaded — this
-    query is a GATE that runs at oracle SF only; a production pipeline
-    calls ``dedup_spans`` (the distributed half) directly."""
-    src = synth_span_docs(spark, sf_dir)
-    kept = dedup_spans(src).select("doc_id", F.size("spans").alias("n_kept"))
-    exp_rows = []
+    gate is SELF-CHECKING: over the deterministic CHECK_N-doc subset
+    (doc_id % K == 0), the Spark UDF's per-doc kept-counts are folded
+    into an order-independent checksum (Σ 40-bit md5 of
+    "doc_id|n_kept") and compared against the same checksum from an
+    independent pure-Python oracle (pyarrow input via
+    ``synth_span_docs_py`` + the shared ``deduplicate_fields`` — no
+    Spark in the oracle path).  The DuckDB twin pins ``n_docs`` /
+    ``n_checked`` from the documents table and ``n_mismatch`` as the
+    literal 0; any Spark/oracle divergence flips n_mismatch to 1 and
+    fails the value-hash compare.  Production pipelines call
+    ``dedup_spans`` (the distributed half) directly — this query is
+    the gate."""
+    k = _check_mod(sf_dir)
+    chk = 0
     for doc_id, spans in synth_span_docs_py(sf_dir).items():
+        if doc_id % k != 0:
+            continue
         texted = [(str(i), s["text"]) for i, s in enumerate(spans) if s["text"]]
         kept_ids = {t for t, _ in deduplicate_fields(texted)}
         n = sum(
             1 for i, s in enumerate(spans) if not s["text"] or str(i) in kept_ids
         )
-        exp_rows.append((doc_id, n))
-    exp = spark.createDataFrame(exp_rows, "doc_id long, exp_n_kept int")
-    return kept.join(exp, "doc_id", "full").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(
-            F.when(
-                F.col("n_kept").isNull()
-                | F.col("exp_n_kept").isNull()
-                | (F.col("n_kept") != F.col("exp_n_kept")),
-                1,
-            ).otherwise(0)
-        )
+        chk += _hash40(f"{doc_id}|{n}")
+    src = synth_span_docs(spark, sf_dir).filter(F.col("doc_id") % k == 0)
+    kept = dedup_spans(src).select(
+        "doc_id",
+        F.expr(
+            _H40_SPARK.format(
+                s="concat_ws('|', cast(doc_id as string),"
+                " cast(size(spans) as string))"
+            )
+        ).alias("h"),
+    )
+    agg = kept.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        F.coalesce(F.sum("h"), F.lit(0)).alias("spark_chk"),
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return n_docs.crossJoin(agg).select(
+        "n_docs",
+        "n_checked",
+        F.when(F.col("spark_chk") == F.lit(chk), F.lit(0))
+        .otherwise(F.lit(1))
         .cast("long")
         .alias("n_mismatch"),
     )
@@ -271,52 +325,49 @@ def extract_triplet_pipeline(spark, sf_dir: str) -> DataFrame:
     synthetic-LLM triplet parse with the camel-collapse mangle
     (response_cleaner.py:48-63).  The eval-based string mangle is not
     SQL-expressible, so like ``w4_span_dedup`` the driver gate is
-    self-checking: the full Spark triplet multiset is full-outer
-    compared (per-triplet counts) against the pure-Python
-    ``extract_triplets_doc`` oracle over ``synth_span_docs_py`` input,
-    and the DuckDB twin pins ``n_docs`` + the literal ``n_mismatch=0``.
-    Gate-only, like ``w4_span_dedup``: the embedded oracle is driver-
-    side O(corpus); production calls ``extract_triplets`` directly."""
+    self-checking over the deterministic CHECK_N-doc subset: the Spark
+    triplet multiset folds to an order-independent checksum (Σ 40-bit
+    md5 of the '|'-joined 6-tuple) compared against the identical fold
+    of the pure-Python ``extract_triplets_doc`` oracle over
+    ``synth_span_docs_py`` input — a multiset compare without ever
+    materializing the expected multiset on the driver.  The DuckDB
+    twin pins ``n_docs``/``n_checked`` + the literal ``n_mismatch=0``.
+    Production calls ``extract_triplets`` directly."""
     from .extract import extract_triplets, extract_triplets_doc
 
-    docs = synth_span_docs(spark, sf_dir, extra_words=True)
-    got = extract_triplets(docs).groupBy(
-        "url", "subj_type", "subj", "predicate", "obj_type", "obj"
-    ).agg(F.count("*").alias("n_got"))
-    exp_rows = []
+    k = _check_mod(sf_dir)
+    chk = 0
     for doc_id, spans in synth_span_docs_py(sf_dir, extra_words=True).items():
+        if doc_id % k != 0:
+            continue
         for st, sn, p, ot, on in extract_triplets_doc(spans):
-            exp_rows.append((doc_id, st, sn, p, ot, on))
-    exp = (
-        spark.createDataFrame(
-            exp_rows,
-            "url long, subj_type string, subj string, predicate string,"
-            " obj_type string, obj string",
-        )
-        .groupBy("url", "subj_type", "subj", "predicate", "obj_type", "obj")
-        .agg(F.count("*").alias("n_exp"))
+            chk += _hash40(f"{doc_id}|{st}|{sn}|{p}|{ot}|{on}")
+    docs = synth_span_docs(spark, sf_dir, extra_words=True).filter(
+        F.col("doc_id") % k == 0
     )
-    keys = ["url", "subj_type", "subj", "predicate", "obj_type", "obj"]
-    mismatches = (
-        got.join(exp, keys, "full")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("n_got").isNull()
-                    | F.col("n_exp").isNull()
-                    | (F.col("n_got") != F.col("n_exp")),
-                    1,
-                ).otherwise(0)
+    got = extract_triplets(docs).select(
+        F.expr(
+            _H40_SPARK.format(
+                s="concat_ws('|', cast(url as string), subj_type, subj,"
+                " predicate, obj_type, obj)"
             )
-            .cast("long")
-            .alias("n_mismatch")
-        )
+        ).alias("h")
     )
-    n_docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .agg(F.count("*").cast("long").alias("n_docs"))
+    agg = got.agg(F.coalesce(F.sum("h"), F.lit(0)).alias("spark_chk"))
+    counts = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % k == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_checked"),
     )
-    return n_docs.crossJoin(mismatches)
+    return counts.crossJoin(agg).select(
+        "n_docs",
+        "n_checked",
+        F.when(F.col("spark_chk") == F.lit(chk), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_mismatch"),
+    )
 
 
 _W1_FOLD_SQL = r"""
@@ -373,16 +424,10 @@ _W1_FOLD_SQL = r"""
     ORDER BY doc_id, heading_path, content
 """
 
-_SELF_CHECK_SQL = """
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(0 AS BIGINT) AS n_mismatch
-    FROM documents
-"""
-
 ORACLE_SQL: dict[str, str] = {
     "w1_heading_fold": _W1_FOLD_SQL,
-    "w4_span_dedup": _SELF_CHECK_SQL,
-    "extract_triplet_pipeline": _SELF_CHECK_SQL,
+    "w4_span_dedup": _GATE_SQL,
+    "extract_triplet_pipeline": _GATE_SQL,
 }
 
 QUERIES = {

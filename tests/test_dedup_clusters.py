@@ -30,6 +30,27 @@ def test_long_chain_needs_multiple_rounds(spark):
     assert got == {v: 1 for v in range(1, 8)}
 
 
+def test_star_fallback_on_long_chain(spark):
+    # a 61-vertex path (diameter 60 > the hash-min max_iter of 25):
+    # hash-min hands off to large-star/small-star, which must close
+    # the whole chain to the minimum vertex — alongside a second
+    # component to prove the fallback keeps components separate
+    chain = [(i, i + 1) for i in range(100, 160)]
+    got = _cc(spark, chain + [(900, 901)])
+    assert got == {**{v: 100 for v in range(100, 161)}, 900: 900, 901: 900}
+
+
+def test_star_components_directly(spark):
+    from llm_scraper_spark.operators.dedup import _star_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 8), (8, 9), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["vertex"]: r["component"] for r in _star_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 20: 20, 21: 20}
+
+
 def test_bridge_merges_cliques(spark):
     # two triangles bridged by one edge collapse into one component
     tri_a = [(1, 2), (2, 3), (1, 3)]

@@ -33,6 +33,7 @@ BNLJ_JUSTIFIED = {
     "a8_fuzzy_precision_count": "fixed sentence-variant literal table",
     "a9_vote_majority": "fixed judge-panel literal table",
     "extract_triplet_pipeline": "fixed rule/prompt literal table",
+    "w4_span_dedup": "two 1-row aggregates cross-joined (gate shell)",
     "sim_bruteforce_topk": "N_QUERIES(=10)-row query set — documented baseline",
     "ann_ivf_topk": "N_CELLS(=8)-row codebook",
     "ann_ivf_trained_topk": "N_CELLS(=8)-row trained codebook",
