@@ -48,8 +48,14 @@ class BloomFilter:
     words: np.ndarray  # uint64[m_bits/64]
 
     def _indices(self, hashes: np.ndarray) -> np.ndarray:
-        """k probe positions per hash — double hashing, fully vectorized."""
-        h1 = hashes.astype(np.uint64)
+        """k probe positions per hash — double hashing, fully vectorized.
+
+        Bit 63 is masked off FIRST, exactly as the JVM probe does
+        (``hash & (2^63-1)`` in ``bloom_probe_col``): url_hash is
+        contractually 63-bit, but build_bloom accepts arbitrary frames,
+        and an unmasked top bit would leak into ``h1 >> 31`` and
+        diverge the two engines' probe positions."""
+        h1 = hashes.astype(np.uint64) & np.uint64((1 << 63) - 1)
         with np.errstate(over="ignore"):
             h1m = h1 & _MASK61
             h2 = ((h1 ^ (h1 >> np.uint64(31)) ^ ((h1 << np.uint64(17)) & _MASK64))
@@ -109,15 +115,26 @@ class ShardedBloom:
 
     def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
         """Pure-Python probe (test oracle): route each hash to its
-        shard, probe there."""
+        shard, probe there — via `_shard_ids`, the same signed
+        floor-mod the JVM ``pmod`` computes, so a hash with the top
+        bit set routes identically in both engines."""
         hs = np.asarray(hashes, dtype=np.uint64)
         out = np.zeros(len(hs), dtype=bool)
-        sid = hs % np.uint64(self.n_shards)
+        sid = _shard_ids(hs, self.n_shards)
         for s in range(self.n_shards):
             m = sid == s
             if m.any():
                 out[m] = self.shards[s].maybe_contains(hs[m])
         return out
+
+
+def _shard_ids(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard routing shared by build and probe: interpret the hash as
+    SIGNED int64 and take numpy's floor-mod — bit-identical to the JVM
+    probe's ``pmod(url_hash, n_shards)`` for every 64-bit pattern
+    (uint64 modulo would route top-bit hashes to a different shard for
+    non-power-of-two shard counts: Bloom false negatives)."""
+    return np.asarray(hashes, dtype=np.uint64).view(np.int64) % np.int64(n_shards)
 
 
 def build_bloom(
@@ -143,7 +160,7 @@ def build_bloom(
             if not len(pdf):
                 continue
             hs = pdf["url_hash"].to_numpy(dtype=np.uint64)
-            sid = hs % np.uint64(shards)
+            sid = _shard_ids(hs, shards)
             for s in np.unique(sid):
                 bfs[int(s)].add(hs[sid == s])
                 touched.add(int(s))
@@ -196,7 +213,7 @@ def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
 
     arr = pa.array([words], type=pa.list_(pa.int64()))
     table = pa.Table.from_arrays([arr], names=["_bloom_arr"])
-    return _ship_table(spark, table, "_bloom_arr array<bigint>")
+    return _ship_table(spark, table, "_bloom_arr array<bigint>", owner=bloom)
 
 
 def sharded_bitmap_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
@@ -211,28 +228,47 @@ def sharded_bitmap_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
         type=pa.list_(pa.int64()),
     )
     table = pa.Table.from_arrays([shard_ids, arrs], names=["_bloom_shard", "_bloom_arr"])
-    return _ship_table(spark, table, "_bloom_shard bigint, _bloom_arr array<bigint>")
+    return _ship_table(
+        spark, table, "_bloom_shard bigint, _bloom_arr array<bigint>", owner=bloom
+    )
 
 
 #: process-lifetime staging dir for bitmap ships — created lazily,
-#: removed at interpreter exit.  Each ship writes a fresh file and
-#: deletes all but the 2 most recent (the previous round's bitmap may
-#: still be lazily referenced until its round commits), so a
-#: multi-hundred-round crawl holds at most 2 bitmap files instead of
-#: leaking one per round.  ``SPARK_GRAFT_BLOOM_STAGE_DIR`` overrides
-#: the location for real clusters, where the stage dir must live on a
-#: filesystem the executors can read (HDFS/NFS/object-store mount) —
-#: a driver-local /tmp path only works in local mode.
+#: removed at interpreter exit.  Staged files are retained PER BLOOM
+#: OBJECT: each owner keeps its 2 most recent ships (the previous
+#: round's bitmap may still be lazily referenced until its round
+#: commits — the crawler re-ships the same mutated object every
+#: round), and a ``weakref.finalize`` removes the owner's remaining
+#: files when the object is collected.  Scoping retention to the
+#: owner means two Crawler instances — or a sharded and a plain bloom
+#: interleaving ships in one process — can never delete each other's
+#: still-referenced files (the old process-global keep-2 could).
+#: Contract: a bitmap DataFrame is re-materializable only while its
+#: bloom object is alive and within 2 ships of it.
+#: ``SPARK_GRAFT_BLOOM_STAGE_DIR`` overrides the location for real
+#: clusters, where the stage dir must live on a filesystem the
+#: executors can read (HDFS/NFS/object-store mount) — a driver-local
+#: /tmp path only works in local mode.
 _STAGE_DIR: list[str | None] = [None]
 _STAGE_SEQ: list[int] = [0]
 
 
-def _ship_table(spark: SparkSession, table, schema: str) -> DataFrame:
+def _remove_paths(paths: list) -> None:
+    import os
+
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def _ship_table(spark: SparkSession, table, schema: str, owner) -> DataFrame:
     import atexit
-    import glob
     import os
     import shutil
     import tempfile
+    import weakref
 
     import pyarrow.parquet as pq
 
@@ -245,15 +281,18 @@ def _ship_table(spark: SparkSession, table, schema: str) -> DataFrame:
             _STAGE_DIR[0] = tempfile.mkdtemp(prefix="bloom_stage_")
             atexit.register(shutil.rmtree, _STAGE_DIR[0], ignore_errors=True)
     _STAGE_SEQ[0] += 1
-    path = os.path.join(_STAGE_DIR[0], f"bloom_{_STAGE_SEQ[0]:08d}.parquet")
+    path = os.path.join(
+        _STAGE_DIR[0], f"bloom_{id(owner):x}_{_STAGE_SEQ[0]:08d}.parquet"
+    )
     pq.write_table(table, path, compression="snappy")
-    for old in sorted(glob.glob(os.path.join(_STAGE_DIR[0], "bloom_*.parquet")))[
-        :-2
-    ]:
-        try:
-            os.remove(old)
-        except OSError:
-            pass
+    paths = getattr(owner, "_stage_paths", None)
+    if paths is None:
+        paths = []
+        owner._stage_paths = paths
+        # the finalizer captures the list, not the owner — no ref cycle
+        weakref.finalize(owner, _remove_paths, paths)
+    paths.append(path)
+    _remove_paths([paths.pop(0) for _ in range(max(0, len(paths) - 2))])
     return spark.read.schema(schema).parquet(path)
 
 

@@ -132,6 +132,12 @@ def link_pagerank(docs, iters: int = PR_ITERS):
         .alias("vid"),
     )
     n = idx.count()  # scalar graph size (bounded: one long, not data)
+    if n == 0:
+        # an empty doc table has an empty rank vector, not a
+        # ZeroDivisionError from PR_SCALE // n below
+        return docs.select(
+            "doc_id", F.lit(0).cast("long").alias("rank_units")
+        ).limit(0)
     edges = idx.select(
         F.col("vid").alias("src"),
         F.explode(

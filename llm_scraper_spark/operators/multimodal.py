@@ -4,11 +4,14 @@ decode/feature-extract as Arrow-batched kernels.
 Reference analog: media download + whisper transcription
 (util/media/media_downloader.py:9-63 ffmpeg fetch, :44-46 transcribe;
 base64 data-URL decode at :15-24) and image LLM analysis
-(analysis/image_analysis.py:19-124).  In this container the image/
-audio libraries do not exist, so the *decode* is a deterministic stub
-(or a PIL path gated behind an import-try raising NotImplementedError),
-while the Spark-side plumbing — binary column, schema, mapInPandas
-batch shape, partition flow — is real and tested.
+(analysis/image_analysis.py:19-124).  The decode kernel dispatches by
+capability: PIL when importable (full codec coverage), else a
+pure-stdlib header decoder for PNG/BMP/PPM (real metadata from real
+bytes, no image library), with `_decode_stub` only for the synthetic
+md5-payload corpus whose blobs are not images.  Full pixel transforms
+(resize, transcode) still require PIL/ffmpeg on the cluster; the
+Spark-side plumbing — binary column, schema, mapInPandas batch shape,
+partition flow — is identical for all three kernels and tested.
 
 The synthetic payload is ``unhex(md5(text))`` (16 bytes), so the DuckDB
 oracle can reproduce every derived metadata value from the md5 hex
@@ -60,14 +63,69 @@ def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _parse_header(b: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib image metadata decode for the formats whose headers
+    carry it directly: PNG (IHDR), BMP (BITMAPINFOHEADER), PPM/PGM.
+    Returns (width, height, channels); raises ValueError on formats
+    that need a full codec (JPEG entropy-coded dims, video, …)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        color_type = b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        return w, h, channels
+    if b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        return w, h, max(1, bpp // 8)
+    if b[:2] in (b"P6", b"P5"):
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 2 and i < len(b):
+            while i < len(b) and b[i : i + 1].isspace():
+                i += 1
+            if b[i : i + 1] == b"#":  # comment line
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            fields.append(int(b[i:j]))
+            i = j
+        w, h = fields
+        return w, h, 3 if b[:2] == b"P6" else 1
+    raise ValueError(f"unsupported media format (magic {b[:4]!r})")
+
+
 def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """The genuine decoder path — requires PIL, absent here by design."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL; this container ships none — "
-            "use _decode_stub (same mapInPandas contract)"
+    """The genuine decoder path, same mapInPandas contract as the stub:
+    PIL when importable (full codec coverage — JPEG and friends),
+    otherwise the pure-stdlib header decoder (PNG/BMP/PPM metadata
+    without any image library).  Payloads must be real image bytes —
+    the synthetic md5 corpus goes through `_decode_stub`; `decode_media`
+    below picks the right kernel."""
+    import io
+
+    def one(b) -> tuple[int, int, int]:
+        b = bytes(b)
+        if HAVE_PIL:
+            im = Image.open(io.BytesIO(b))
+            return im.width, im.height, len(im.getbands())
+        return _parse_header(b)
+
+    for pdf in batches:
+        decoded = [one(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "channels": [d[2] for d in decoded],
+            }
         )
-    raise NotImplementedError("wire PIL decode here on a cluster with PIL")
 
 
 _DECODE_SCHEMA = (
@@ -75,13 +133,30 @@ _DECODE_SCHEMA = (
 )
 
 
+def decode_media(with_payload_df: DataFrame, real: bool | None = None) -> DataFrame:
+    """Production decode surface: (doc_id, payload) → typed metadata,
+    one mapInPandas pass over media-locality partitions.  ``real=None``
+    dispatches on the payload contract: the real decoder whenever a
+    codec path exists for real image bytes (PIL, or the stdlib header
+    parser), the stub only when the caller explicitly opts into the
+    synthetic corpus (``real=False`` — what `mm_decode_stub` does,
+    since md5 payloads are not decodable images)."""
+    kernel = _decode_stub if real is False else real_decode
+    return with_payload_df.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → binary payload → mapInPandas decode-stub metadata."""
+    """documents → binary payload → mapInPandas decode metadata.
+    ``real=False``: the synthetic md5 payloads are not decodable
+    images, so this driver gate pins the stub kernel; `decode_media`
+    with real payloads is the production path (tested end-to-end on
+    crafted PNG/BMP/PPM bytes in tests/test_streaming_multimodal.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        with_payload(docs)
-        .repartition(8, "doc_id")  # stands in for media-locality partitioning
-        .mapInPandas(_decode_stub, _DECODE_SCHEMA)
+        decode_media(
+            with_payload(docs).repartition(8, "doc_id"),  # media-locality partitioning
+            real=False,
+        )
         .orderBy("doc_id")
     )
 

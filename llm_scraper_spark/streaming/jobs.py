@@ -36,19 +36,47 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+#: one symlink dir per distinct sf_dir for the process lifetime —
+#: repeated drains reuse it instead of leaking a temp dir per call
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file source requires a directory; expose the events parquet
-    # file through a temp dir of symlinks (testdata is read-only)
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    # file through a (cached, session-lifetime) dir of symlinks
+    # (testdata is read-only)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = _STREAM_DIRS.get(src)
+    if stream_dir is None or not os.path.isdir(stream_dir):
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        _STREAM_DIRS[src] = stream_dir
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .load(stream_dir)
     )
+
+
+def _clamped_session(spark: SparkSession, state_partitions: int = 8) -> SparkSession:
+    """An isolated session (shared SparkContext, own SQLConf) with the
+    shuffle/state partition count clamped for a stream drain.
+
+    Stateful streaming ops create one state-store instance (RocksDB/
+    HDFS dir + a python worker for applyInPandasWithState) PER shuffle
+    partition PER micro-batch — fixed cost that dwarfs the work when
+    the key space is small (measured 11.6 s → 1.6 s at 32 → 8
+    partitions on the sf0.01 events table).  Clamping a CLONE instead
+    of the caller's session means a concurrent query planned during
+    the drain keeps its full shuffle width — mutating the shared conf
+    here used to silently narrow it.  A production deployment sizes
+    this to active-key cardinality / executor count."""
+    clone = spark.newSession()
+    prev = int(clone.conf.get("spark.sql.shuffle.partitions"))
+    clone.conf.set(
+        "spark.sql.shuffle.partitions", str(min(prev, state_partitions))
+    )
+    return clone
 
 
 def windowed_counts_stream(events: DataFrame) -> DataFrame:
@@ -181,58 +209,45 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
 
 
 def run_sessionize_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = _clamped_session(spark)
     return _drain_to_memory(
-        sessionize_stream(_events_stream(spark, sf_dir)),
-        spark,
+        sessionize_stream(_events_stream(s2, sf_dir)),
         output_mode="update",
     ).orderBy("user_id", "session_id")
 
 
 def _drain_to_memory(
     df: DataFrame,
-    spark: SparkSession,
     output_mode: str = "complete",
-    state_partitions: int = 8,
 ) -> DataFrame:
-    """AvailableNow drain into a memory sink.
-
-    Stateful streaming ops create one state-store instance (RocksDB/HDFS
-    dir + a python worker for applyInPandasWithState) PER shuffle
-    partition PER micro-batch — fixed cost that dwarfs the work when the
-    key space is small.  These jobs key state by user_id, so the state
-    partition count is clamped to ``state_partitions`` for the drain
-    (measured 11.6 s → 1.6 s at 32 → 8 partitions on the sf0.01 events
-    table) and the session's analytic shuffle width is restored after.
-    A production deployment sizes this to active-key cardinality /
-    executor count, not to the analytic shuffle width."""
+    """AvailableNow drain into a memory sink — runs in whatever session
+    ``df`` was built against (the run_* wrappers build their streams on
+    a `_clamped_session` clone, so the drain never mutates the caller's
+    conf), and reads the sink table back from that same session."""
+    sess = df.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev), state_partitions))
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
     )
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    q.awaitTermination()
+    return sess.table(name)
 
 
 def run_windowed_counts_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = _clamped_session(spark)
     return _drain_to_memory(
-        windowed_counts_stream(_events_stream(spark, sf_dir)), spark
+        windowed_counts_stream(_events_stream(s2, sf_dir))
     ).orderBy("window_start", "event_type")
 
 
 def run_stateful_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = _clamped_session(spark)
     return _drain_to_memory(
-        stateful_dedup_stream(_events_stream(spark, sf_dir)), spark
+        stateful_dedup_stream(_events_stream(s2, sf_dir))
     ).orderBy("event_type")
 
 
@@ -272,9 +287,9 @@ def view_purchase_join_stream(events: DataFrame) -> DataFrame:
 def run_view_purchase_join_available_now(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    s2 = _clamped_session(spark)
     pairs = _drain_to_memory(
-        view_purchase_join_stream(_events_stream(spark, sf_dir)),
-        spark,
+        view_purchase_join_stream(_events_stream(s2, sf_dir)),
         output_mode="append",
     )
     return (

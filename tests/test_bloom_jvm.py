@@ -47,6 +47,45 @@ def test_distributed_build_and_flag(spark):
     assert fp < 6000 * 0.05  # ~1% fpp with slack
 
 
+def test_top_bit_hashes_route_identically(spark):
+    """Hashes ≥ 2^63 (negative as int64 — outside the 63-bit url_hash
+    contract, but build_bloom accepts arbitrary frames): the JVM probe
+    and the Python build/oracle must still agree on shard routing
+    (signed floor-mod both sides) and probe positions (bit 63 masked
+    both sides) — no false negatives, even with a non-power-of-two
+    shard count."""
+    rng = np.random.default_rng(23)
+    # top bit set → negative int64
+    added = (rng.integers(0, 1 << 62, size=3000, dtype=np.int64)) | np.int64(
+        -(1 << 63)
+    )
+    seen = spark.createDataFrame([(int(h),) for h in added], "url_hash long")
+    for shards in (1, 5):  # 5: non-power-of-two, the divergent case
+        bf = build_bloom(seen, capacity=4096, shards=shards)
+        flagged = with_bloom_flag(spark, seen, bf)
+        assert flagged.filter(~F.col("_maybe_seen")).count() == 0, shards
+        want = bf.maybe_contains(added.view(np.uint64))
+        assert want.all(), shards
+
+
+def test_staged_bitmaps_scoped_per_bloom(spark):
+    """Two blooms interleaving ships must not delete each other's
+    staged files: each owner retains its own 2 most recent."""
+    from llm_scraper_spark.functions.bloom import bitmap_df
+
+    a = BloomFilter.empty(capacity=2048)
+    b = BloomFilter.empty(capacity=2048)
+    a.add(np.arange(100, dtype=np.uint64))
+    b.add(np.arange(200, 300, dtype=np.uint64))
+    df_a = bitmap_df(spark, a)
+    for _ in range(4):  # 4 later ships from ANOTHER bloom
+        bitmap_df(spark, b)
+    # df_a's staged file must still be readable (old global keep-2
+    # would have deleted it)
+    assert df_a.count() == 1
+    assert len(a._stage_paths) <= 2 and len(b._stage_paths) <= 2
+
+
 def test_sharded_build_matches_unsharded_semantics(spark):
     """Shard ≡ unsharded on the invariants that matter: identical
     no-false-negative guarantee, comparable fpp, and the JVM sharded
