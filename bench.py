@@ -6,9 +6,10 @@ Two parts:
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query
    seconds in "queries".
 2. Crawl throughput (the BASELINE.json metric: URLs fetched+deduped/s)
-   at two parallelism levels — N and 4N cores — on the same input, via
-   subprocesses (one JVM per level), reporting scaling efficiency
-   (= speedup / 4).  Skippable with SPARK_GRAFT_SKIP_CRAWL=1.
+   on two N→4N families — 1→4 and 2→8 cores — on the same input, one
+   pinned JVM subprocess per leg, legs of a pair back-to-back.
+   Headline scaling efficiency = median of valid pairs (see
+   bench_crawl_scaling).  Skippable with SPARK_GRAFT_SKIP_CRAWL=1.
 """
 
 from __future__ import annotations
@@ -96,8 +97,8 @@ def _run_queries_subprocess() -> dict[str, float]:
     return _last_json_line(proc, "queries")
 
 
-def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
-    """One crawl level, CPU-pinned to exactly ``cores`` physical CPUs.
+def _crawl_cmd(cores: int, cpuset: str, seeds: str) -> list[str]:
+    """One crawl level, CPU-pinned to the given cpuset.
 
     The pinning (taskset) is what makes the two-cluster-size comparison
     honest on one box: an unpinned local[1] JVM still gets the host's
@@ -107,7 +108,19 @@ def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
     level owns exactly N CPUs for JVM + GC + python workers — the
     same resource envelope an N-executor cluster node set would have.
     """
-    cmd = [
+    taskset = shutil.which("taskset")
+    if not taskset:
+        # pinning is what makes the two-level comparison honest; never
+        # skip it silently (an unpinned 1-core level borrows the whole
+        # host for GC/JIT/python workers and fakes a low efficiency)
+        raise RuntimeError(
+            "taskset not found — cannot CPU-pin the scaling levels; "
+            "install util-linux or run with SPARK_GRAFT_SKIP_CRAWL=1"
+        )
+    return [
+        taskset,
+        "-c",
+        cpuset,
         sys.executable,
         "-m",
         "llm_scraper_spark.bench_crawl",
@@ -118,25 +131,36 @@ def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
         "--rounds",
         "2",
     ]
-    taskset = shutil.which("taskset")
-    if taskset:
-        cmd = [taskset, "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
-    else:
-        # pinning is what makes the two-level comparison honest; never
-        # skip it silently (an unpinned 1-core level borrows the whole
-        # host for GC/JIT/python workers and fakes a low efficiency)
-        raise RuntimeError(
-            "taskset not found — cannot CPU-pin the scaling levels; "
-            "install util-linux or run with SPARK_GRAFT_SKIP_CRAWL=1"
-        )
+
+
+def _run_crawl_subprocess(cores: int, seeds: str) -> dict:
     proc = subprocess.run(
-        cmd,
+        _crawl_cmd(cores, f"0-{cores - 1}" if cores > 1 else "0", seeds),
         capture_output=True,
         text=True,
         cwd=REPO,
         timeout=1800,
     )
     return _last_json_line(proc, f"crawl[{cores}]")
+
+
+def _run_family(small: int, big: int, seeds: str) -> tuple[dict, dict]:
+    """One N→4N pair, legs run back-to-back (small then big) so the
+    pair samples adjacent minutes of host weather.
+
+    A concurrent-leg variant (both legs simultaneously on disjoint
+    cpusets, to sample the identical steal epoch) was implemented,
+    measured, and REJECTED: pinned vCPU sets do not map to disjoint
+    physical cores on this microVM, so two busy JVMs contend through
+    the hypervisor — in an otherwise clean epoch (turbo probe 1.03, a
+    solo 32-core run minutes later hit 20,484 URLs/s, the best on
+    record) the co-run 4-core leg measured 8,343 against its
+    15-17k solo band and the co-run 2→8 pair measured 0.25.
+    Co-measurement corrupts the very ratio it was meant to protect;
+    back-to-back adjacency is the best this box offers."""
+    rs = _run_crawl_subprocess(small, seeds)
+    rb = _run_crawl_subprocess(big, seeds)
+    return rs, rb
 
 
 def _turbo_probe() -> dict:
@@ -198,93 +222,172 @@ def _turbo_probe() -> dict:
     }
 
 
+#: a pair's small leg must reach this fraction of the best small leg
+#: observed at its level in THIS run, or the pair is excluded from the
+#: headline (a degraded small leg INFLATES the ratio — the one-sided
+#: failure the round-2 advice flagged).  0.92 ≈ the ±8% clean-run band
+#: recorded in BASELINE.md.
+SMALL_LEG_BAND = float(os.environ.get("SPARK_GRAFT_BENCH_BAND", "0.92"))
+
+#: the two N→4N families the criterion is evidenced on; the second is
+#: run once (it rides into the host ceiling on this box — see
+#: CEILING_FRACTION below), the first carries the reps
+FAMILIES = [(1, 4), (2, 8)]
+
+#: a pair whose BIG leg reaches this fraction of the 32-core absolute
+#: point is "host-ceiling-bound": the box, not the engine, capped it
+#: (measured: the pinned 8-core leg delivers 20.7k URLs/s — the same
+#: as 32 cores — so no engine could show 4× over the 2-core leg).
+#: Such pairs are reported with a ``ceiling_bound`` flag and excluded
+#: from the headline, which must measure the ENGINE.
+CEILING_FRACTION = float(os.environ.get("SPARK_GRAFT_BENCH_CEILING", "0.9"))
+
+
 def bench_crawl_scaling() -> dict:
-    """N vs 4N cores on the same input.
+    """N vs 4N cores on the same input, two families: 1→4 and 2→8.
 
     Measurement protocol (measured curve + rationale in BASELINE.md):
     - Each level is CPU-pinned to exactly N physical CPUs (taskset) so
       the small level cannot borrow spare host CPUs for GC/JIT/python
-      workers (see _run_crawl_subprocess).
+      workers (see _crawl_cmd).
+    - The two legs of a pair run back-to-back (see _run_family for why
+      concurrent legs were measured and rejected), so each pair samples
+      adjacent minutes of host weather.
     - Throughput per level = steady-state (round ≥ 1); round 0 is the
       JIT/worker warm-up round, reported but excluded — a production
       crawl runs hundreds of rounds, so steady-state is what scales.
-    - The 4x-resources criterion is evidenced on the N=1 → 4N=4 pair
-      (both levels fully hardware-backed; this Firecracker microVM
-      advertises 32 vCPUs but sustains ~20 effective cores and the
-      JVM saturates ~17-20k URLs/s beyond 4-8 threads), interleaved
-      A/B/A/B/A/B over 3 reps.
-    - Estimator: the BEST PAIRED efficiency across reps.  Hypervisor
-      steal is strictly one-sided on throughput (external load can
-      only slow a pinned run down, never speed it up), so during a
-      degraded host epoch the least-contaminated adjacent pair is the
-      closest observation of the engine's true scaling; a median
-      under-reports whenever ≥half the measurement window is stolen
-      (observed: a sustained epoch where 2 of 3 4-core legs lost
-      25-35% while the cleanest pair still measured 0.845).  The
-      possible inflation from a pair whose 1-core leg was itself
-      degraded is bounded by the 1-core band's tightness (±8% across
-      all recorded runs — see BASELINE.md).  Medians and every raw
-      run stay in the JSON for audit; _turbo_probe rules clock
-      asymmetry in/out per invocation; a single 32-core run is the
-      absolute point.
+    - Run order: the 32-core absolute point FIRST (it doubles as the
+      host-ceiling reference), then one 2→8 pair, then up to ``reps``
+      1→4 pairs with early exit.
+    - Headline estimator: MEDIAN of valid, non-ceiling-bound pairs,
+      pooled across families.  A pair is invalid when its small leg
+      falls below SMALL_LEG_BAND × the best small leg at its level
+      this run — a degraded small leg is the only case that INFLATES
+      a pair, so the filter is purely anti-inflation; a degraded big
+      leg only deflates, and the median rides those out.  A pair is
+      ceiling-bound when its big leg reaches CEILING_FRACTION of the
+      32-core point (the "if host permits" caveat, decided
+      mechanically).  The best pair is still reported, under its own
+      ``best_paired_efficiency`` key.  Every raw run and every raw
+      pair stays in the JSON for audit; per-family medians get their
+      own keys; _turbo_probe rules clock asymmetry in/out per
+      invocation.
     """
     out: dict = {"runs": [], "turbo_probe": _turbo_probe()}
-    n_small, n_big = 1, 4
     seeds = os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "800000")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # Early exit once a pair clears the criterion with margin: further
-    # reps exist only to ride out host-interference epochs, so a
-    # clearly clean pair makes them redundant (a clean epoch finishes
-    # in one ~9-minute rep; a degraded epoch uses all reps).  The
-    # reported figure is then a LOWER bound on best-paired.
-    good_enough = float(os.environ.get("SPARK_GRAFT_BENCH_EARLY_EXIT", "0.85"))
-    thr: dict[int, list[float]] = {n_small: [], n_big: []}
-    for rep in range(reps):
-        for cores in (n_small, n_big):
-            r = _run_crawl_subprocess(cores, seeds)
-            r["cores"] = cores
-            out["runs"].append(r)
-            thr[cores].append(
-                r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
-            )
-        if (
-            thr[n_small][-1]
-            and thr[n_big][-1] / thr[n_small][-1] / (n_big / n_small)
-            >= good_enough
-        ):
-            break
-    r32 = _run_crawl_subprocess(CPUS, seeds)
-    r32["cores"] = CPUS
-    out["runs"].append(r32)
-    out[f"cores_{CPUS}"] = {
-        "urls_per_sec": r32.get("steady_urls_per_sec")
-        or r32.get("urls_per_sec")
-        or 0.0
-    }
+    good_enough = float(os.environ.get("SPARK_GRAFT_BENCH_EARLY_EXIT", "0.84"))
+    thr: dict[int, list[float]] = {c: [] for f in FAMILIES for c in f}
+    pairs: list[dict] = []  # {family, small, big, small_thr, big_thr, eff}
 
-    def _median(xs: list[float]) -> float:
+    def _median(xs: list[float]) -> float | None:
+        if not xs:
+            return None
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-    med = {c: _median(v) for c, v in thr.items()}
-    out[f"cores_{n_small}"] = {"urls_per_sec": med[n_small], "all": thr[n_small]}
-    out[f"cores_{n_big}"] = {"urls_per_sec": med[n_big], "all": thr[n_big]}
-    pairs = [
-        (a, b) for a, b in zip(thr[n_small], thr[n_big]) if a and b
+    def _steady(r: dict) -> float:
+        return r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
+
+    # 32-core absolute point first: headline URLs/s AND the ceiling
+    # reference the pair classification below needs
+    r32 = _run_crawl_subprocess(CPUS, seeds)
+    r32["cores"] = CPUS
+    out["runs"].append(r32)
+    ceiling = _steady(r32)
+    out[f"cores_{CPUS}"] = {"urls_per_sec": ceiling}
+    out["host_ceiling_urls_per_sec"] = ceiling
+
+    def _valid(p: dict) -> bool:
+        return p["small_thr"] >= SMALL_LEG_BAND * max(thr[p["small"]])
+
+    def _ceiling_bound(p: dict) -> bool:
+        return bool(ceiling) and p["big_thr"] >= CEILING_FRACTION * ceiling
+
+    def _run_pair(small: int, big: int) -> None:
+        rs, rb = _run_family(small, big, seeds)
+        for cores, r in ((small, rs), (big, rb)):
+            r["cores"] = cores
+            out["runs"].append(r)
+            thr[cores].append(_steady(r))
+        pairs.append(
+            {
+                "family": f"{small}to{big}",
+                "small": small,
+                "big": big,
+                "small_thr": thr[small][-1],
+                "big_thr": thr[big][-1],
+                "eff": (
+                    round(thr[big][-1] / thr[small][-1] / (big / small), 3)
+                    if thr[small][-1] and thr[big][-1]
+                    else None
+                ),
+            }
+        )
+
+    _run_pair(2, 8)  # the secondary family, once
+    for _rep in range(reps):
+        _run_pair(1, 4)
+        usable = [
+            p["eff"]
+            for p in pairs
+            if p["eff"] and _valid(p) and not _ceiling_bound(p)
+        ]
+        med_now = _median(usable)
+        # Early exit once the headline clears the criterion with margin
+        # AND ≥2 usable pairs individually clear it: further reps exist
+        # only to ride out host-interference epochs.
+        if (
+            med_now is not None
+            and med_now >= good_enough
+            and sum(e >= 0.8 for e in usable) >= 2
+        ):
+            break
+
+    for c, v in thr.items():
+        out[f"cores_{c}"] = {"urls_per_sec": _median(v), "all": v}
+    for p in pairs:
+        p["valid"] = _valid(p)
+        p["ceiling_bound"] = _ceiling_bound(p)
+    out["pairs"] = pairs
+    usable = [
+        p["eff"] for p in pairs if p["eff"] and p["valid"] and not p["ceiling_bound"]
     ]
-    out["paired_efficiencies"] = [
-        round(b / a / (n_big / n_small), 3) for a, b in pairs
-    ]
-    out["efficiency_median_of_levels"] = (
-        round(med[n_big] / med[n_small] / (n_big / n_small), 3)
-        if med[n_small]
-        else None
+    out["paired_efficiencies"] = [p["eff"] for p in pairs]
+    out["n_pairs_excluded_small_leg_band"] = sum(
+        1 for p in pairs if p["eff"] and not p["valid"]
     )
-    best = max(pairs, key=lambda p: p[1] / p[0], default=None)
+    out["n_pairs_host_ceiling_bound"] = sum(
+        1 for p in pairs if p["eff"] and p["ceiling_bound"]
+    )
+    out["best_paired_efficiency"] = max(usable, default=None)
+    out["pairs_over_criterion"] = sum(e >= 0.8 for e in usable)
+    for small, big in FAMILIES:
+        fam = [p["eff"] for p in pairs if p["eff"] and p["small"] == small]
+        out[f"scaling_efficiency_{small}to{big}"] = _median(fam)
+    best = max(
+        (
+            (p["small_thr"], p["big_thr"])
+            for p in pairs
+            if p["eff"] and p["valid"] and not p["ceiling_bound"]
+        ),
+        key=lambda ab: ab[1] / ab[0],
+        default=None,
+    )
     out["speedup"] = round(best[1] / best[0], 3) if best else None
-    out["scaling_efficiency"] = (
-        round(best[1] / best[0] / (n_big / n_small), 3) if best else None
+    med = _median(usable)
+    if med is None:  # every pair ceiling-bound: report raw valid median
+        med = _median([p["eff"] for p in pairs if p["eff"] and p["valid"]])
+    out["scaling_efficiency"] = round(med, 3) if med is not None else None
+    out["estimator"] = (
+        "median of valid, non-ceiling-bound N->4N pairs (one 2->8 pair + "
+        "up to 3 reps of 1->4); pair valid iff small leg >= "
+        f"{SMALL_LEG_BAND} x best small leg at its level this run "
+        "(anti-inflation band); pair ceiling-bound iff big leg >= "
+        f"{CEILING_FRACTION} x the 32-core absolute point (host, not "
+        "engine, is the limiter); best pair reported separately as "
+        "best_paired_efficiency"
     )
     return out
 
