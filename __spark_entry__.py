@@ -22,6 +22,7 @@ from llm_scraper_spark.operators import (
     multimodal,
     reference_parity,
     relational,
+    scrub,
     similarity,
     spans,
     textstats,
@@ -46,6 +47,7 @@ _MODULES = (
     similarity,
     textstats,
     curation,
+    scrub,
     graph,
     multimodal,
     htmltables,

@@ -40,6 +40,7 @@ BNLJ_JUSTIFIED = {
     "ann_ivf_train_cells": "N_CELLS(=8)-row codebook per Lloyd's iteration",
     "ann_recall_eval": "composes sim_bruteforce_topk + ann_ivf_topk",
     "corpus_source_mix": "1-row corpus-total aggregate",
+    "corpus_len_histogram": "1-row corpus-total aggregate",
 }
 
 
