@@ -422,7 +422,23 @@ def main() -> None:
             result["scaling_efficiency"] = crawl.get("scaling_efficiency")
     finally:
         os.dup2(real_stdout, 1)
-    print(json.dumps(result))
+    # The round-2 harness kept only the last few KB of this line and
+    # failed to json-parse it (BENCH_r02.json: "parsed": null) because
+    # the per-round phase breakdowns made it ~8 KB.  Print a SLIM line
+    # that parses — per-leg raw runs and phase breakdowns go to
+    # BENCH_DETAIL.json in the repo instead — and keep the headline
+    # scaling keys LAST so even a truncated tail still shows them.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    slim = dict(result)
+    if "crawl" in slim:
+        slim["crawl"] = {
+            k: v for k, v in slim["crawl"].items() if k != "runs"
+        }
+        slim["crawl"]["runs"] = "see BENCH_DETAIL.json (per-leg rounds + phase_sec)"
+        for k in ("urls_fetched_deduped_per_sec", "scaling_efficiency"):
+            slim[k] = slim.pop(k)
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
