@@ -296,8 +296,14 @@ def bench_crawl_scaling() -> dict:
     r32["cores"] = CPUS
     out["runs"].append(r32)
     ceiling = _steady(r32)
-    out[f"cores_{CPUS}"] = {"urls_per_sec": ceiling}
     out["host_ceiling_urls_per_sec"] = ceiling
+    if CPUS in thr:
+        # CPUS collides with a family level (e.g. an 8-core host):
+        # fold the absolute-point run into that level's audit list
+        # instead of letting the per-level loop below overwrite it
+        thr[CPUS].append(ceiling)
+    else:
+        out[f"cores_{CPUS}"] = {"urls_per_sec": ceiling}
 
     def _valid(p: dict) -> bool:
         return p["small_thr"] >= SMALL_LEG_BAND * max(thr[p["small"]])

@@ -180,6 +180,13 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_PREFIX = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
 
 
+#: stratum key for NULL languages: the equi-joins and isin() filters in
+#: the sample machinery would silently drop a NULL stratum (NULL never
+#: equi-matches), so strata are keyed on coalesce(lang, sentinel).  The
+#: NUL byte cannot appear in a real language tag.
+_NULL_LANG = "\x00<null-lang>"
+
+
 def _sample_survivors(docs: DataFrame):
     """Hash-threshold pre-filter for the stratified sample: per
     stratum, keep only docs whose 32-bit hash prefix falls below
@@ -187,20 +194,23 @@ def _sample_survivors(docs: DataFrame):
     SAMPLE_MARGIN × STRATA_N survivors per stratum regardless of
     stratum size, so the exact rank never sorts a dominant language.
     Returns (survivors, thresholds); survivors is persisted (it feeds
-    the exactness check and the final rank)."""
+    the exactness check and the final rank) and carries a ``_skey``
+    stratum-key column (lang with NULL mapped to a sentinel, so a
+    NULL-language stratum survives the equi-join)."""
     from pyspark.storagelevel import StorageLevel
 
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    keyed = docs.withColumn("_skey", F.coalesce(F.col("lang"), F.lit(_NULL_LANG)))
+    counts = keyed.groupBy("_skey").agg(F.count("*").alias("n_s"))
     budget = (SAMPLE_MARGIN * STRATA_N) << 32
     thr = counts.select(
-        "lang",
+        "_skey",
         "n_s",
         F.expr(
             f"cast(least({1 << 32}, ({budget} + n_s - 1) div n_s) as bigint)"
         ).alias("h_thresh"),
     )
     surv = (
-        docs.join(F.broadcast(thr.select("lang", "h_thresh")), "lang")
+        keyed.join(F.broadcast(thr.select("_skey", "h_thresh")), "_skey")
         .filter(F.expr(_H_PREFIX) < F.col("h_thresh"))
         .drop("h_thresh")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -230,24 +240,27 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv, thr = _sample_survivors(docs)
     per = (
         thr.join(
-            surv.groupBy("lang").agg(F.count("*").alias("n_surv")), "lang", "left"
+            surv.groupBy("_skey").agg(F.count("*").alias("n_surv")), "_skey", "left"
         )
-        .select("lang", "n_s", F.coalesce("n_surv", F.lit(0)).alias("n_surv"))
+        .select("_skey", "n_s", F.coalesce("n_surv", F.lit(0)).alias("n_surv"))
     )
     # bounded driver-side collect: one row per under-covered LANGUAGE
     # (a stratum is fine if it kept ≥ STRATA_N docs or kept them all)
     bad = [
-        r["lang"]
+        r["_skey"]
         for r in per.filter(
             (F.col("n_surv") < STRATA_N) & (F.col("n_surv") < F.col("n_s"))
         ).collect()
     ]
     if bad:
-        surv = surv.filter(~F.col("lang").isin(bad)).unionByName(
-            docs.filter(F.col("lang").isin(bad))
+        full = docs.withColumn(
+            "_skey", F.coalesce(F.col("lang"), F.lit(_NULL_LANG))
+        )
+        surv = surv.filter(~F.col("_skey").isin(bad)).unionByName(
+            full.filter(F.col("_skey").isin(bad))
         )
     h = F.md5(F.col("doc_id").cast("string"))
-    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h.asc()))
+    rn = F.row_number().over(Window.partitionBy("_skey").orderBy(h.asc()))
     return (
         surv.select("doc_id", "lang", "source", rn.alias("sample_rank"))
         .filter(F.col("sample_rank") <= STRATA_N)

@@ -69,12 +69,20 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
     Returns (width, height, channels); raises ValueError on formats
     that need a full codec (JPEG entropy-coded dims, video, …)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 26:  # magic + IHDR length/type + 13-byte IHDR body
+            raise ValueError("unsupported media format (truncated PNG header)")
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         color_type = b[25]
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(
+                f"unsupported media format (PNG color type {color_type})"
+            )
         return w, h, channels
     if b[:2] == b"BM":
+        if len(b) < 30:
+            raise ValueError("unsupported media format (truncated BMP header)")
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = abs(int.from_bytes(b[22:26], "little", signed=True))
         bpp = int.from_bytes(b[28:30], "little")
@@ -94,6 +102,8 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
                 j += 1
             fields.append(int(b[i:j]))
             i = j
+        if len(fields) < 2:
+            raise ValueError("unsupported media format (truncated PPM header)")
         w, h = fields
         return w, h, 3 if b[:2] == b"P6" else 1
     raise ValueError(f"unsupported media format (magic {b[:4]!r})")
@@ -111,8 +121,15 @@ def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     def one(b) -> tuple[int, int, int]:
         b = bytes(b)
         if HAVE_PIL:
-            im = Image.open(io.BytesIO(b))
-            return im.width, im.height, len(im.getbands())
+            try:
+                im = Image.open(io.BytesIO(b))
+                return im.width, im.height, len(im.getbands())
+            except ValueError:
+                raise
+            except Exception as exc:  # PIL UnidentifiedImageError etc.
+                raise ValueError(
+                    f"unsupported media format (magic {b[:4]!r}): {exc}"
+                ) from exc
         return _parse_header(b)
 
     for pdf in batches:

@@ -178,18 +178,34 @@ def synth_span_docs(spark, sf_dir: str, extra_words: bool = False) -> DataFrame:
     return docs.select("doc_id", spans.alias("spans"))
 
 
-def synth_span_docs_py(sf_dir: str, extra_words: bool = False) -> dict[int, list[dict]]:
+def synth_span_docs_py(
+    sf_dir: str, extra_words: bool = False, keep_mod: int = 1
+) -> dict[int, list[dict]]:
     """Pure-Python mirror of ``synth_span_docs`` (pyarrow read, no
     Spark anywhere) — the independent oracle input for the
-    self-checking driver gates below and for tests."""
+    self-checking driver gates below and for tests.  ``keep_mod > 1``
+    keeps only docs with ``doc_id % keep_mod == 0``: the filter runs
+    per record batch BEFORE any span construction, so driver memory
+    and Python-level work stay O(kept docs), not O(corpus) — the
+    CHECK_N gates pass their stride here instead of post-filtering."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     extras = ["sensor", "hub", "camera", "thermostat"]
     out: dict[int, list[dict]] = {}
-    for doc_id, text in zip(
-        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-    ):
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    kept: list[tuple[int, str]] = []
+    for batch in pf.iter_batches(columns=["doc_id", "text"]):
+        ids = batch.column(0).to_pylist()
+        if keep_mod > 1:
+            idx = [i for i, d in enumerate(ids) if d % keep_mod == 0]
+            if not idx:
+                continue
+            texts = batch.column(1).take(idx).to_pylist()
+            ids = [ids[i] for i in idx]
+        else:
+            texts = batch.column(1).to_pylist()
+        kept.extend(zip(ids, texts))
+    for doc_id, text in kept:
         if extra_words:
             text = f"{text} {extras[doc_id % 4]} vendor energy"
         ws = text.split(" ")
@@ -283,9 +299,7 @@ def w4_span_dedup(spark, sf_dir: str) -> DataFrame:
     the gate."""
     k = _check_mod(sf_dir)
     chk = 0
-    for doc_id, spans in synth_span_docs_py(sf_dir).items():
-        if doc_id % k != 0:
-            continue
+    for doc_id, spans in synth_span_docs_py(sf_dir, keep_mod=k).items():
         texted = [(str(i), s["text"]) for i, s in enumerate(spans) if s["text"]]
         kept_ids = {t for t, _ in deduplicate_fields(texted)}
         n = sum(
@@ -337,9 +351,9 @@ def extract_triplet_pipeline(spark, sf_dir: str) -> DataFrame:
 
     k = _check_mod(sf_dir)
     chk = 0
-    for doc_id, spans in synth_span_docs_py(sf_dir, extra_words=True).items():
-        if doc_id % k != 0:
-            continue
+    for doc_id, spans in synth_span_docs_py(
+        sf_dir, extra_words=True, keep_mod=k
+    ).items():
         for st, sn, p, ot, on in extract_triplets_doc(spans):
             chk += _hash40(f"{doc_id}|{st}|{sn}|{p}|{ot}|{on}")
     docs = synth_span_docs(spark, sf_dir, extra_words=True).filter(
