@@ -256,9 +256,10 @@ def bench_crawl_scaling() -> dict:
     - Throughput per level = steady-state (round ≥ 1); round 0 is the
       JIT/worker warm-up round, reported but excluded — a production
       crawl runs hundreds of rounds, so steady-state is what scales.
-    - Run order: the 32-core absolute point FIRST (it doubles as the
-      host-ceiling reference), then one 2→8 pair, then up to ``reps``
-      1→4 pairs with early exit.
+    - Run order: the 32-core absolute point FIRST (normally the
+      host-ceiling reference — though the ceiling is the max steady
+      throughput over ALL legs, see _ceiling), then one 2→8 pair,
+      then up to ``reps`` 1→4 pairs with early exit.
     - Headline estimator: MEDIAN of valid, non-ceiling-bound pairs,
       pooled across families.  A pair is invalid when its small leg
       falls below SMALL_LEG_BAND × the best small leg at its level
@@ -295,21 +296,30 @@ def bench_crawl_scaling() -> dict:
     r32 = _run_crawl_subprocess(CPUS, seeds)
     r32["cores"] = CPUS
     out["runs"].append(r32)
-    ceiling = _steady(r32)
-    out["host_ceiling_urls_per_sec"] = ceiling
     if CPUS in thr:
         # CPUS collides with a family level (e.g. an 8-core host):
         # fold the absolute-point run into that level's audit list
         # instead of letting the per-level loop below overwrite it
-        thr[CPUS].append(ceiling)
+        thr[CPUS].append(_steady(r32))
     else:
-        out[f"cores_{CPUS}"] = {"urls_per_sec": ceiling}
+        out[f"cores_{CPUS}"] = {"urls_per_sec": _steady(r32)}
+
+    def _ceiling() -> float:
+        # The host ceiling is the highest steady throughput ANY leg of
+        # this invocation delivered — usually the 32-core point, but a
+        # ceiling can never sit below a throughput the host actually
+        # produced: one steal-degraded 32-core reference run (observed:
+        # 6.8k against a 19-20.5k band while the 8-core leg minutes
+        # later did 20.2k) would otherwise classify every pair as
+        # "ceiling-bound" and empty the headline estimator.
+        return max((_steady(r) for r in out["runs"]), default=0.0)
 
     def _valid(p: dict) -> bool:
         return p["small_thr"] >= SMALL_LEG_BAND * max(thr[p["small"]])
 
     def _ceiling_bound(p: dict) -> bool:
-        return bool(ceiling) and p["big_thr"] >= CEILING_FRACTION * ceiling
+        c = _ceiling()
+        return bool(c) and p["big_thr"] >= CEILING_FRACTION * c
 
     def _run_pair(small: int, big: int) -> None:
         rs, rb = _run_family(small, big, seeds)
@@ -343,16 +353,21 @@ def bench_crawl_scaling() -> dict:
         med_now = _median(usable)
         # Early exit once the headline clears the criterion with margin
         # AND ≥2 usable pairs individually clear it: further reps exist
-        # only to ride out host-interference epochs.
+        # only to ride out host-interference epochs.  The per-pair bar
+        # follows the knob downward (min with 0.8) so a smoke run with
+        # SPARK_GRAFT_BENCH_EARLY_EXIT=0.5 actually exits early; the
+        # REPORTED pairs_over_criterion below stays pinned at the 0.8
+        # north rule regardless.
         if (
             med_now is not None
             and med_now >= good_enough
-            and sum(e >= 0.8 for e in usable) >= 2
+            and sum(e >= min(0.8, good_enough) for e in usable) >= 2
         ):
             break
 
     for c, v in thr.items():
         out[f"cores_{c}"] = {"urls_per_sec": _median(v), "all": v}
+    out["host_ceiling_urls_per_sec"] = _ceiling()
     for p in pairs:
         p["valid"] = _valid(p)
         p["ceiling_bound"] = _ceiling_bound(p)

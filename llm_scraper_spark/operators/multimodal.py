@@ -71,6 +71,10 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         if len(b) < 26:  # magic + IHDR length/type + 13-byte IHDR body
             raise ValueError("unsupported media format (truncated PNG header)")
+        if b[12:16] != b"IHDR":  # the spec requires IHDR first; a file
+            # with another chunk there would have its bytes misread as
+            # width/height — reject, don't emit garbage metadata
+            raise ValueError("unsupported media format (PNG without leading IHDR)")
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         color_type = b[25]
@@ -83,6 +87,13 @@ def _parse_header(b: bytes) -> tuple[int, int, int]:
     if b[:2] == b"BM":
         if len(b) < 30:
             raise ValueError("unsupported media format (truncated BMP header)")
+        dib = int.from_bytes(b[14:18], "little")
+        if dib < 40:  # BITMAPCOREHEADER (12) stores 16-bit dims at a
+            # different offset — only the >=40-byte INFOHEADER family
+            # has the int32 fields this parser reads
+            raise ValueError(
+                f"unsupported media format (BMP DIB header size {dib})"
+            )
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = abs(int.from_bytes(b[22:26], "little", signed=True))
         bpp = int.from_bytes(b[28:30], "little")
@@ -118,29 +129,30 @@ def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     below picks the right kernel."""
     import io
 
-    def one(b) -> tuple[int, int, int]:
-        b = bytes(b)
+    def one(b) -> tuple[int, int, int, int]:
+        b = bytes(b)  # materialize the Arrow buffer ONCE per payload
         if HAVE_PIL:
             try:
                 im = Image.open(io.BytesIO(b))
-                return im.width, im.height, len(im.getbands())
+                return len(b), im.width, im.height, len(im.getbands())
             except ValueError:
                 raise
             except Exception as exc:  # PIL UnidentifiedImageError etc.
                 raise ValueError(
                     f"unsupported media format (magic {b[:4]!r}): {exc}"
                 ) from exc
-        return _parse_header(b)
+        w, h, c = _parse_header(b)
+        return len(b), w, h, c
 
     for pdf in batches:
         decoded = [one(b) for b in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "channels": [d[2] for d in decoded],
+                "n_bytes": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+                "channels": [d[3] for d in decoded],
             }
         )
 

@@ -11,13 +11,21 @@ embedded as literals in both the Spark plan and the oracle SQL.
 Scale path (100 TB): brute force is O(queries × corpus) — fine for a
 broadcast query set, quadratic for all-pairs.  The LSH variant is
 banded multi-table hyperplane LSH: N_BANDS independent tables, each
-keyed by N_PLANES sign bits (4 × 16 here — 65k keys per band, raise
-N_PLANES for a bigger corpus); candidates are the union of per-band
-bucket equi-joins, and every (band, bucket) is capped at MAX_BUCKET
-members before any join (window count on the join key itself, no
-extra shuffle) so a degenerate bucket can never go quadratic — the
-same hot-bucket guard the minhash/simhash text paths use
-(dedup.py MAX_BUCKET).  An IVF variant swaps the bucket key for a
+keyed by an ADAPTIVE number of sign bits — k = clamp(bitlen(ceil(n /
+TARGET_BUCKET) - 1), MIN_BITS, N_PLANES) where n is the corpus row
+count, so the expected bucket occupancy stays ≈TARGET_BUCKET at every
+corpus size: a fixed-width key either starves recall (16 bits over a
+500-vector test corpus → all-singleton buckets → zero candidates) or
+goes quadratic (8 bits over 10^12 vectors → corpus/256 per bucket).
+n comes from parquet footer metadata (no scan; a lakehouse table
+serves it from manifest stats), and the identical integer formula
+runs in the DuckDB twin, so both engines always pick the same k.
+Candidates are the union of per-band bucket equi-joins, and every
+(band, bucket) is capped at MAX_BUCKET members before any join
+(window count on the join key itself, no extra shuffle) so a
+degenerate bucket can never go quadratic even at the k = N_PLANES
+ceiling — the same hot-bucket guard the minhash/simhash text paths
+use (dedup.py MAX_BUCKET).  An IVF variant swaps the bucket key for a
 centroid id — same join shape.
 """
 
@@ -30,8 +38,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 DIM = 64
-N_PLANES = 16   # sign bits per band → 2^16 bucket keys per band
+N_PLANES = 16   # MAX sign bits per band (the key width at huge corpora)
 N_BANDS = 4     # independent LSH tables (bands)
+#: Target mean bucket occupancy: the adaptive key width k is the
+#: smallest bit count whose 2^k buckets hold ≈ this many vectors each
+#: (clamped to [MIN_BITS, N_PLANES]).  Kept at half MAX_BUCKET so a
+#: typical bucket sits well under the hot-bucket cap.
+TARGET_BUCKET = 32
+MIN_BITS = 4
 TOP_K = 3
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_CELLS = 8     # IVF coarse cells (centroids)
@@ -59,6 +73,29 @@ def _plane_signs() -> list[list[int]]:
 
 
 PLANES = _plane_signs()
+
+
+def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings row count from parquet footer metadata — no scan, no
+    job.  (At lakehouse scale this is a manifest/stats lookup.)  Falls
+    back to a Spark count for multi-file layouts."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    except Exception:
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def _adaptive_bits(n: int) -> int:
+    """Bucket-key width for an n-row corpus: smallest k with
+    2^k ≥ ceil(n / TARGET_BUCKET), clamped to [MIN_BITS, N_PLANES].
+    Integer-only (bit_length), mirrored exactly by the twin's
+    ``length(bin(m - 1))`` — see the kbits CTE in _PLANE_CTES."""
+    m = (n + TARGET_BUCKET - 1) // TARGET_BUCKET
+    if m <= 1:
+        return MIN_BITS
+    return min(N_PLANES, max(MIN_BITS, (m - 1).bit_length()))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,9 +159,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_keys():
-    """Array of all N_BANDS bucket keys (N_PLANES sign bits each) over
-    column ``qe`` — one corpus scan computes every band.
+def _band_keys(k_bits: int):
+    """Array of all N_BANDS bucket keys (``k_bits`` sign bits each)
+    over column ``qe`` — one corpus scan computes every band.  Only
+    the low ``k_bits`` planes of each band's N_PLANES-plane block are
+    evaluated (the adaptive width — computing then masking the full
+    key would waste N_BANDS × (N_PLANES - k) dot products per vector).
 
     Expression-size discipline: the 64 hyperplanes enter the plan as a
     SINGLE nested-array literal (one Catalyst node), and the per-plane
@@ -136,7 +176,7 @@ def _band_keys():
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
         lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            F.sequence(F.lit(0), F.lit(k_bits - 1)),
             F.lit(0).cast("long"),
             lambda acc, j: acc
             + F.when(
@@ -156,14 +196,14 @@ def _band_keys():
     )
 
 
-def _capped_band_rows(vecs: DataFrame) -> DataFrame:
+def _capped_band_rows(vecs: DataFrame, k_bits: int) -> DataFrame:
     """(vec_id, band, bkey) rows for all N_BANDS tables, with every
     (band, bkey) bucket larger than MAX_BUCKET dropped.  The window
     count partitions on the same key the candidate join shuffles on,
     so the cap adds no extra shuffle; persisted because both self-join
     sides (or the query and corpus sides) re-read it."""
     bands = vecs.select(
-        "vec_id", F.posexplode(_band_keys()).alias("band", "bkey")
+        "vec_id", F.posexplode(_band_keys(k_bits)).alias("band", "bkey")
     ).select("vec_id", F.col("band").cast("long").alias("band"), "bkey")
     return (
         bands.withColumn(
@@ -176,12 +216,13 @@ def _capped_band_rows(vecs: DataFrame) -> DataFrame:
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH index table: N_BANDS band keys of N_PLANES sign
-    bits per vector — integer projections, JVM-side, no UDF.  This is
-    the materialized index `ann_lsh_topk` probes (pre-cap)."""
+    """Hyperplane-LSH index table: N_BANDS band keys of adaptive-width
+    sign bits per vector — integer projections, JVM-side, no UDF.  This
+    is the materialized index `ann_lsh_topk` probes (pre-cap)."""
     vecs = _quantized(spark, sf_dir)
+    k = _adaptive_bits(_corpus_n(spark, sf_dir))
     return (
-        vecs.select("vec_id", "label", F.posexplode(_band_keys()).alias("band", "bucket"))
+        vecs.select("vec_id", "label", F.posexplode(_band_keys(k)).alias("band", "bucket"))
         .select("vec_id", "label", F.col("band").cast("long").alias("band"), "bucket")
         .orderBy("vec_id", "band")
     )
@@ -194,7 +235,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is an equi-join on (band, bkey), so cost scales with capped
     bucket occupancy — never corpus²."""
     vecs = _quantized(spark, sf_dir)
-    banded = _capped_band_rows(vecs)
+    banded = _capped_band_rows(vecs, _adaptive_bits(_corpus_n(spark, sf_dir)))
     qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bkey"
     )
@@ -345,7 +386,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(perturbed)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    banded = _capped_band_rows(aug)
+    # key width from the BASE corpus count (the twin's kbits CTE reads
+    # count(embeddings) too): the dup-augmented set is a constant
+    # ≤1.2× inflation, which never moves the clamped bit width
+    banded = _capped_band_rows(aug, _adaptive_bits(_corpus_n(spark, sf_dir)))
     cand = (
         banded.alias("x")
         .join(
@@ -519,10 +563,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_sql(p: int) -> str:
-    return "[" + ", ".join(str(s) for s in PLANES[p]) + "]"
-
-
 #: The 64 hyperplanes as ONE SQL list-of-lists literal — referenced a
 #: single time per query (the first cut inlined one 64-int list per
 #: plane per band branch: ~300 KB of SQL the parser chewed on).
@@ -530,18 +570,29 @@ _PLANES_SQL_LIT = (
     "[" + ", ".join("[" + ", ".join(str(s) for s in row) + "]" for row in PLANES) + "]"
 )
 
-#: DuckDB twin of one element of `_band_keys()`: the N_PLANES-bit key
-#: for band ``b.band`` over ``s.qe``, planes taken from ``pl.P``.
+#: DuckDB twin of one element of `_band_keys()`: the adaptive-width
+#: (``kb.k``-bit) key for band ``b.band`` over ``s.qe``, planes taken
+#: from ``pl.P`` — low k planes of the band's N_PLANES-plane block,
+#: exactly as the Spark side iterates.
 _BKEY_SQL = (
-    f"CAST(list_sum(list_transform(range(1, {N_PLANES + 1}), j -> "
+    f"CAST(list_sum(list_transform(range(1, kb.k + 1), j -> "
     f"CASE WHEN CAST(list_sum(list_transform(range(1, {DIM + 1}), "
     f"i -> s.qe[i] * pl.P[b.band * {N_PLANES} + j][i])) AS BIGINT) > 0 "
     f"THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
 )
 
+#: kbits mirrors `_adaptive_bits` integer-for-integer:
+#: length(bin(m - 1)) == (m - 1).bit_length() for m > 1 (verified for
+#: every SF plus 10^6/10^12 synthetic counts in tests).
 _PLANE_CTES = f"""
         planes AS (SELECT {_PLANES_SQL_LIT} AS P),
-        bandids AS (SELECT CAST(unnest(range(0, {N_BANDS})) AS BIGINT) AS band)"""
+        bandids AS (SELECT CAST(unnest(range(0, {N_BANDS})) AS BIGINT) AS band),
+        kbits AS (
+          SELECT CASE WHEN m <= 1 THEN {MIN_BITS}
+                      ELSE least({N_PLANES}, greatest({MIN_BITS}, length(bin(m - 1))))
+                 END AS k
+          FROM (SELECT (count(*) + {TARGET_BUCKET - 1}) // {TARGET_BUCKET} AS m
+                FROM embeddings))"""
 
 
 def _banded_sql(src: str) -> str:
@@ -551,7 +602,7 @@ def _banded_sql(src: str) -> str:
         {_PLANE_CTES},
         bands_all AS (
           SELECT s.vec_id, b.band, {_BKEY_SQL} AS bkey
-          FROM {src} s CROSS JOIN planes pl CROSS JOIN bandids b
+          FROM {src} s CROSS JOIN planes pl CROSS JOIN bandids b CROSS JOIN kbits kb
         ),
         bands AS (
           SELECT vec_id, band, bkey FROM (
@@ -693,7 +744,7 @@ ORACLE_SQL = {
         WITH {_QUANT_SQL},
         {_PLANE_CTES}
         SELECT s.vec_id, s.label, b.band, {_BKEY_SQL} AS bucket
-        FROM qn s CROSS JOIN planes pl CROSS JOIN bandids b
+        FROM qn s CROSS JOIN planes pl CROSS JOIN bandids b CROSS JOIN kbits kb
         ORDER BY vec_id, band
     """,
     "ann_lsh_topk": f"""

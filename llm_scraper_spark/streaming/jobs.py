@@ -16,7 +16,9 @@ also how a backfill over historic parquet would run on a cluster.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -49,6 +51,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = _STREAM_DIRS.get(src)
     if stream_dir is None or not os.path.isdir(stream_dir):
         stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        # best-effort removal at interpreter exit so repeated bench /
+        # gate processes don't accumulate symlink dirs on the host
+        atexit.register(shutil.rmtree, stream_dir, ignore_errors=True)
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
         _STREAM_DIRS[src] = stream_dir
     return (

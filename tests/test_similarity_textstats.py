@@ -29,10 +29,35 @@ def test_textstats_matches_oracle(spark, name):
 
 
 def test_ann_is_subset_of_bruteforce_candidates(spark):
-    """Every ANN neighbor must be a real vector, ranks contiguous."""
+    """Every ANN neighbor must be a real vector, ranks contiguous —
+    and the result NON-VACUOUS: with the adaptive key width every
+    query must fill its full top-k at this corpus size (a fixed 16-bit
+    key once made every bucket a singleton and this test passed on
+    zero rows)."""
     rows = similarity.QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == similarity.N_QUERIES, "every query needs candidates"
     for q, ranks in by_q.items():
-        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), q
+
+
+def test_adaptive_bits_matches_sql_formula():
+    """`_adaptive_bits` (Python, drives the Spark plan) and the kbits
+    CTE (DuckDB twin) must pick the identical key width at any corpus
+    size — integer bit_length vs length(bin(m-1))."""
+    import duckdb
+
+    s = similarity
+    for n in (1, 7, 32, 33, 500, 2000, 5000, 64_000, 10**6, 10**9, 10**12):
+        m = (n + s.TARGET_BUCKET - 1) // s.TARGET_BUCKET
+        sql_k = duckdb.sql(
+            f"SELECT CASE WHEN {m} <= 1 THEN {s.MIN_BITS} "
+            f"ELSE least({s.N_PLANES}, greatest({s.MIN_BITS}, "
+            f"length(bin({m} - 1)))) END"
+        ).fetchone()[0]
+        assert s._adaptive_bits(n) == sql_k, n
+    # the clamps actually engage at the extremes
+    assert s._adaptive_bits(10) == s.MIN_BITS
+    assert s._adaptive_bits(10**12) == s.N_PLANES

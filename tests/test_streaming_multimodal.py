@@ -89,6 +89,32 @@ def test_real_decode_rejects_non_image_bytes(spark):
         multimodal.decode_media(df).collect()
 
 
+@pytest.mark.parametrize(
+    "payload",
+    [
+        # valid PNG magic but first chunk is not IHDR: fixed-offset
+        # reads would return garbage dims — must reject instead
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rsRGB" + b"\x00" * 13,
+        # truncated PNG: magic only
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00",
+        # BITMAPCOREHEADER BMP (DIB size 12): dims live at other
+        # offsets/widths than the INFOHEADER parser reads
+        b"BM" + (134).to_bytes(4, "little") + b"\x00" * 4
+        + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+        + (9).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x7f" * 108,  # pixels — the file is well-formed, just a
+        # CORE-header variant this parser doesn't speak
+    ],
+    ids=["png-no-ihdr", "png-truncated", "bmp-coreheader"],
+)
+def test_header_parser_rejects_malformed(payload):
+    """_parse_header must raise, never emit garbage metadata, on
+    structurally broken files that pass the magic-bytes check."""
+    with pytest.raises(ValueError, match="unsupported media format"):
+        multimodal._parse_header(payload)
+
+
 def test_decode_dispatch(spark):
     """real=False pins the synthetic-corpus stub; default dispatch uses
     the real kernel (PIL path when importable, header parser here)."""
