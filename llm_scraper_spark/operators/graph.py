@@ -183,6 +183,103 @@ def link_pagerank_topk(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- triangle counting
+def kg_triangle_count(spark, sf_dir: str) -> DataFrame:
+    """Global wedge/triangle census over the synthetic link graph (the
+    same deterministic (vid*31+j) mod n edge set PageRank uses) — the
+    community-density signal a crawl scheduler can use to spot link
+    farms (reference analog: the KG the reference builds in
+    db.py:207-469 is exactly such a graph; it never analyses it).
+
+    Degree-ordered algorithm (the MapReduce-classic of Suri &
+    Vassilvitskii, WWW'11): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher one, enumerate wedges by
+    self-joining the oriented edges on the middle vertex, and close
+    each wedge against the undirected edge set.  The orientation
+    bounds every vertex's out-degree by O(sqrt(E)), so the wedge join
+    is O(E^1.5) worst-case instead of sum-of-degree-squares —
+    hot-vertex (hub) skew is capped by construction, which is the
+    property that matters at a 10^10-edge web graph.  All joins are
+    int-key equi-joins; the only window-free global is the final
+    1-row aggregate."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("vid"),
+    )
+    n = idx.count()  # scalar graph size (construction-only, as PageRank)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, 0)], "n_wedges long, n_triangles long"
+        )
+    raw = idx.select(
+        F.col("vid").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("vid") * 31 + F.lit(j)) % n
+                    for j in range(1, PR_FANOUT + 1)
+                ]
+            )
+        ).alias("dst"),
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient a→b iff (deg_a, a) < (deg_b, b): a total order, so the
+    # oriented graph is a DAG and each triangle has exactly one vertex
+    # with two out-edges (counted once, no /3 correction)
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("w"),
+        )
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = e1.join(e2, "y").select(
+        F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+    )
+    closed = wedges.join(
+        und.withColumn("hit", F.lit(1).cast("long")), ["a", "b"], "left"
+    )
+    return closed.agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
 def _pr_iter_sql(i: int) -> str:
     """One unrolled PageRank iteration for the DuckDB twin (the same
     unrolled-CTE pattern as similarity._kmeans_iter_sql)."""
@@ -216,8 +313,38 @@ ORACLE_SQL = {
         FROM p{PR_ITERS} JOIN idx ON p{PR_ITERS}.vid = idx.vid
         ORDER BY rank_units DESC, doc_id LIMIT 20
     """,
+    "kg_triangle_count": f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vid
+          FROM documents),
+        raw AS (
+          SELECT vid AS src, (vid * 31 + j) % (SELECT n FROM nn) AS dst
+          FROM idx CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))}) AS t(j)),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+          GROUP BY v),
+        ori AS (
+          SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS w
+          FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+        wedges AS (
+          SELECT least(e1.u, e2.w) AS a, greatest(e1.u, e2.w) AS b
+          FROM ori e1 JOIN ori e2 ON e1.w = e2.u)
+        SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+               CAST(coalesce(sum(CASE WHEN und.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_triangles
+        FROM wedges LEFT JOIN und ON wedges.a = und.a AND wedges.b = und.b
+    """,
 }
 
 QUERIES = {
     "link_pagerank_topk": link_pagerank_topk,
+    "kg_triangle_count": kg_triangle_count,
 }

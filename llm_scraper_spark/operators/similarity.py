@@ -701,6 +701,45 @@ def _ivf_serve_sql(prelude: str, cents: str) -> str:
     """
 
 
+#: fixed-point scale for per-dimension centroid sufficient statistics
+CENTROID_SCALE = 1_000_000
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, kept as sufficient
+    statistics (per-dimension fixed-point SUM + member count) rather
+    than a divided mean — the same integer-sum-centroid discipline as
+    the k-means trainer above: sums of int64 are order-independent, so
+    a 1000-executor aggregation and a single-threaded oracle agree
+    bit-for-bit, where a float mean would drift with partition order.
+
+    Scale shape: posexplode is row-local (64 rows out per vector, no
+    shuffle), then ONE partial+final hash aggregation on the compound
+    key (label, dim) — cardinality |labels|×64, tiny regardless of
+    corpus size.  Downstream consumers divide sum_fp/n_vecs at the
+    edge (or feed the sums straight into a merge, which means two
+    corpus shards' centroids combine by addition — the property that
+    makes this the 100 TB-friendly form)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_stats(emb).orderBy("label", "dim")
+
+
+def centroid_stats(emb_df: DataFrame) -> DataFrame:
+    """Core kernel: (label, embedding) → (label, dim, sum_fp, n_vecs).
+    Additive across disjoint shards (tested in tests/test_r3_ops.py)."""
+    ex = emb_df.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    return ex.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.sum(
+            F.floor(F.col("val").cast("double") * F.lit(float(CENTROID_SCALE)))
+            .cast("long")
+        ).alias("sum_fp"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+
+
 _KMEANS_SQL = f"""
         WITH {_QUANT_SQL},
         cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
@@ -853,8 +892,24 @@ ORACLE_SQL["ann_recall_eval"] = f"""
     ORDER BY query_id
 """
 
+ORACLE_SQL["embedding_label_centroids"] = f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(CAST(val AS DOUBLE) * {CENTROID_SCALE}.0)
+                    AS BIGINT)) AS BIGINT) AS sum_fp,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ex GROUP BY label, dim ORDER BY label, dim
+"""
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
+    "embedding_label_centroids": embedding_label_centroids,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -212,6 +212,63 @@ def corpus_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tf-idf salience: top terms per doc, minimum term length, stopword
+#: exclusion, and the fixed-point score scale.  The score uses a
+#: linear idf (tf/df, scaled by TFIDF_SCALE, integer floor-div): for a
+#: fixed corpus it ranks identically to tf·log(N/df) in df, while
+#: integer arithmetic keeps the distributed Spark aggregation and the
+#: single-threaded DuckDB twin bit-identical (no libm log in either
+#: engine's hot path — the same trick as the fixed-point PageRank).
+TFIDF_MIN_TERM_LEN = 3
+TFIDF_TOPK = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK salient terms per document (reference analog:
+    keyword extraction feeding the KG node names, db.py:46-50 — here
+    lifted to a corpus-wide statistical salience instead of per-page
+    heuristics).
+
+    Scale shape: tokenize row-local (split + filter, zero shuffle),
+    then two hash aggregations — tf on (doc_id, term) and df on term —
+    one equi-join on term (both sides hash-partitioned; vocabulary
+    grows with the corpus so the df side is never broadcast), and a
+    per-doc top-k window (partition-local sort).  No floats anywhere:
+    score_fp = tf * TFIDF_SCALE div df."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(
+        (F.length("term") >= TFIDF_MIN_TERM_LEN)
+        & ~F.col("term").isin(STOPWORDS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"tf * {TFIDF_SCALE}L div df").alias("score_fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .orderBy("doc_id", "rnk")
+    )
+
+
 ORACLE_SQL = {
     "text_quality": f"""
         WITH t AS (
@@ -278,6 +335,36 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+          FROM documents
+        ),
+        kept AS (
+          SELECT doc_id, term FROM tok
+          WHERE length(term) >= {TFIDF_MIN_TERM_LEN} AND term NOT IN ({_STOP_SQL})
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM kept GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM kept GROUP BY term
+        ),
+        s AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf * {TFIDF_SCALE} // df.df AS BIGINT) AS score_fp
+          FROM tf JOIN df USING (term)
+        ),
+        r AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score_fp DESC, term) AS BIGINT) AS rnk
+          FROM s
+        )
+        SELECT doc_id, term, tf, df, score_fp, rnk
+        FROM r WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
+    """,
 }
 
 QUERIES = {
@@ -286,4 +373,5 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
     "corpus_lang_summary": corpus_lang_summary,
+    "tfidf_top_terms": tfidf_top_terms,
 }
