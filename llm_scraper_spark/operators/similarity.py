@@ -74,6 +74,27 @@ def _plane_signs() -> list[list[int]]:
 
 PLANES = _plane_signs()
 
+#: the planes literal as a reusable Column, built lazily ONCE per
+#: process.  Two lessons baked in: (1) the nested 64×64 literal must
+#: be a single Catalyst node (see _band_keys docstring), and (2) it
+#: must enter the JVM as ONE parsed SQL string — F.lit() on a nested
+#: Python list walks py4j element-by-element (~3-6 s per call, paid on
+#: EVERY query invocation since each builds a fresh expression), while
+#: F.expr("array(array(...),...)") ships one 10 KB string and parses
+#: JVM-side in ~20 ms.  Column objects are unresolved expression
+#: trees, so one cached instance is safely shared across DataFrames
+#: and sessions in the same JVM.
+_PLANES_LIT_CACHE: list = []
+
+
+def _planes_lit():
+    if not _PLANES_LIT_CACHE:
+        sql = "array(" + ",".join(
+            "array(" + ",".join(str(v) for v in row) + ")" for row in PLANES
+        ) + ")"
+        _PLANES_LIT_CACHE.append(F.expr(sql))
+    return _PLANES_LIT_CACHE[0]
+
 
 def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
     """Embeddings row count from parquet footer metadata — no scan, no
@@ -171,7 +192,7 @@ def _band_keys(k_bits: int):
     dot products are higher-order functions over index sequences — the
     first cut inlined one 64-element literal array per plane (4096-node
     trees) and Catalyst analysis alone cost ~20 s per query."""
-    planes_lit = F.lit(PLANES)
+    planes_lit = _planes_lit()
     bits = F.lit([1 << j for j in range(N_PLANES)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
