@@ -164,23 +164,31 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted for the same reason as the simhash signature table: the
     # band union (4 branches) self-joined (×2 sides) would re-run the
     # shingle-hash aggregate 8× otherwise; one short row per doc.
+    # expression-construction discipline (same lesson as the planes
+    # literal in similarity.py): per-hash Column chains cost one py4j
+    # round-trip per operator (~3-5 ms each, ~1 s of pure driver-side
+    # build time per invocation at 8 hashes × 4 bands) — each hash is
+    # ONE F.expr string instead, and the 4 band projections are a
+    # single posexplode over an array (which also collapses the
+    # 4-branch union into one scan of the signature table)
     minh = (
         sh.groupBy("doc_id")
         .agg(
             *[
-                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"mh{b}")
+                F.expr(f"min(md5(concat(shingle, '#{b}'))) AS mh{b}")
                 for b in range(N_MINHASH)
             ]
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = None
-    for band in range(N_MINHASH // 2):
-        key = F.md5(F.concat_ws("|", F.col(f"mh{2*band}"), F.col(f"mh{2*band+1}")))
-        b = minh.select(
-            "doc_id", F.lit(band).alias("band"), key.alias("bkey")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    band_keys = ", ".join(
+        f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1}))"
+        for b in range(N_MINHASH // 2)
+    )
+    bands = minh.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    )
     bands = (
         bands.withColumn(
             "bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
@@ -315,29 +323,33 @@ def _simhash_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", h.alias("h"))
         .distinct()
     )
-    lane_cols = [
-        F.shiftright(F.col("h"), g).bitwiseAND(F.lit(_LANE_MASK)).alias(f"l{g}")
-        for g in range(_LANE_GROUPS)
-    ]
+    # string-built expressions throughout (the py4j round-trip lesson —
+    # see _minhash_pairs): the 15 lane projections, 16 aggregates, and
+    # the 60-term majority unpack below are each ONE parsed SQL string
+    # instead of hundreds of Column-operator calls (~2 s of driver-side
+    # build time per invocation, gone)
     agg = (
-        toks.select("doc_id", *lane_cols)
+        toks.selectExpr(
+            "doc_id",
+            *[
+                f"shiftright(h, {g}) & {_LANE_MASK} AS l{g}"
+                for g in range(_LANE_GROUPS)
+            ],
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n"),
-            *[F.sum(f"l{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
+            F.expr("count(*) AS n"),
+            *[F.expr(f"sum(l{g}) AS s{g}") for g in range(_LANE_GROUPS)],
         )
     )
     lane_max = (1 << _LANE_SPACING) - 1
-    packed = None
-    for b in range(SIMHASH_BITS):
-        g, j = b % _LANE_GROUPS, b // _LANE_GROUPS
-        s_b = F.shiftright(F.col(f"s{g}"), _LANE_SPACING * j).bitwiseAND(
-            F.lit(lane_max)
+    packed = F.expr(
+        " + ".join(
+            f"if((shiftright(s{b % _LANE_GROUPS}, {_LANE_SPACING * (b // _LANE_GROUPS)})"
+            f" & {lane_max}) * 2 > n, {1 << b}L, 0L)"
+            for b in range(SIMHASH_BITS)
         )
-        term = F.when(s_b * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else packed + term
+    )
     # persisted: the banded pair join reads the signature table from
     # EIGHT plan branches (4 band projections × 2 self-join sides), and
     # Catalyst does not dedupe common subtrees across a union — without
@@ -378,11 +390,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sig = _simhash_col(spark, sf_dir)
-    bands = None
-    for band in range(4):
-        key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
-        b = sig.select("doc_id", "simhash", F.lit(band).alias("band"), key.alias("bkey"))
-        bands = b if bands is None else bands.unionByName(b)
+    # one posexplode over the 4 derived keys replaces the 4-branch
+    # union (band = pos), and every expression is a single parsed SQL
+    # string (the py4j round-trip lesson — see _minhash_pairs)
+    band_keys = ", ".join(
+        f"shiftright(simhash, {band * 15}) & {(1 << 15) - 1}"
+        for band in range(4)
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    )
     # re-pivot to one row per doc carrying the 4-bit capped-band mask,
     # then re-derive the band rows from it (bkey is a pure function of
     # simhash) — cheaper than joining the mask back onto band rows
@@ -392,55 +411,44 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(
-            F.max("simhash").alias("simhash"),
-            F.sum(
-                F.expr(f"if(bsz > {MAX_BUCKET}, shiftleft(1, band), 0)")
-            ).alias("capmask"),
+            F.expr("max(simhash) AS simhash"),
+            F.expr(f"sum(if(bsz > {MAX_BUCKET}, shiftleft(1, band), 0)) AS capmask"),
         )
     )
-    # persisted like the signature table: referenced by 8 plan branches
-    # (4 band projections × 2 self-join sides); one short row per doc
+    # persisted like the signature table: referenced by both self-join
+    # sides below; one short row per doc
     from pyspark.storagelevel import StorageLevel
 
     sig2 = sig2.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = None
-    for band in range(4):
-        key = F.shiftright(F.col("simhash"), band * 15).bitwiseAND(F.lit((1 << 15) - 1))
-        b = sig2.filter(
-            F.shiftright(F.col("capmask"), band).bitwiseAND(F.lit(1)) == 0
-        ).select(
-            "doc_id", "simhash", "capmask", F.lit(band).alias("band"), key.alias("bkey")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    bands = sig2.select(
+        "doc_id",
+        "simhash",
+        "capmask",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    ).filter(F.expr("(shiftright(capmask, band) & 1) = 0"))
     joined = bands.alias("a").join(
         bands.alias("b"),
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        F.expr("a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"),
     )
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # keep the row iff no UNCAPPED band EARLIER than this row's band
     # also matches: for every j < band, the xor's 15-bit slice j is
     # nonzero OR bucket j was capped (both docs share bucket j when
     # slice j is zero, so either side's capmask bit is authoritative)
-    first_match = None
-    for j in range(3):
-        no_match_j = (
-            F.shiftright(xor, j * 15).bitwiseAND(F.lit((1 << 15) - 1)) != 0
-        )
-        capped_j = (
-            F.shiftright(F.col("a.capmask"), j).bitwiseAND(F.lit(1)) == 1
-        )
-        cond = (F.col("a.band") <= j) | no_match_j | capped_j
-        first_match = cond if first_match is None else first_match & cond
+    xor_sql = "(a.simhash ^ b.simhash)"
+    first_match = " AND ".join(
+        f"(a.band <= {j}"
+        f" OR (shiftright({xor_sql}, {j * 15}) & {(1 << 15) - 1}) != 0"
+        f" OR (shiftright(a.capmask, {j}) & 1) = 1)"
+        for j in range(3)
+    )
     return (
-        joined.filter(first_match)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(xor).cast("long").alias("hamming"),
+        joined.filter(F.expr(first_match))
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            f"cast(bit_count{xor_sql} as bigint) AS hamming",
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.expr(f"hamming <= {HAMMING_MAX}"))
         .orderBy("doc_a", "doc_b")
     )
 
