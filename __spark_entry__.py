@@ -27,6 +27,7 @@ from llm_scraper_spark.operators import (
     spans,
     textstats,
     tpch_extra,
+    tpch_extra2,
 )
 from llm_scraper_spark.streaming import jobs as streaming_jobs
 
@@ -41,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _MODULES = (
     relational,
     tpch_extra,
+    tpch_extra2,
     reference_parity,
     spans,
     dedup,
