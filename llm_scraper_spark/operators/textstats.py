@@ -269,6 +269,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: unigram-LM tokenization: lowercase alpha runs, like tfidf_top_terms
+#: (empty splits filtered).  Surprisal is measured in WHOLE BITS via
+#: exact integer arithmetic — length(bin(total div cnt)) ==
+#: floor(log2(total/cnt)) + 1 — so Spark and DuckDB agree bit-for-bit
+#: with no transcendental-function (libm vs java.lang.Math) drift.
+LM_SCALE = 1_000_000
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model surprisal per document — the
+    cheap stand-in for KenLM perplexity filtering (CCNet-style): docs
+    whose words are corpus-rare score high, boilerplate scores low.
+
+    Scale shape: tf aggregates per (doc_id, term) FIRST (map-side
+    combine), so the term↔global-count equi-join moves one row per
+    distinct (doc, term), never one per token; the vocabulary grows
+    with the corpus so the count side is hash-joined, not broadcast;
+    the global total is a 1-row broadcast.  Zero floats: per-term
+    surprisal_bits = length(bin(total div cnt)), doc score =
+    Σ tf·surprisal, mean_fp = score·LM_SCALE div n_tokens."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 1)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    scored = (
+        tf.join(counts, "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr("cast(length(bin(_total div cnt)) as bigint)").alias(
+                "surprisal_bits"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("surprisal_bits"))
+            .cast("long")
+            .alias("surprisal_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_sum",
+            F.expr(f"surprisal_sum * {LM_SCALE}L div n_tokens").alias(
+                "mean_surprisal_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL = {
     "text_quality": f"""
         WITH t AS (
@@ -367,8 +428,36 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["unigram_lm_score"] = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+      WHERE length(t.term) >= 1
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+    ), doc AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * length(bin(total // cnt))) AS BIGINT)
+               AS surprisal_sum
+      FROM tf JOIN counts USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, surprisal_sum,
+           CAST(surprisal_sum * {LM_SCALE} // n_tokens AS BIGINT)
+             AS mean_surprisal_fp
+    FROM doc ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_quality": text_quality,
+    "unigram_lm_score": unigram_lm_score,
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,

@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_JUSTIFIED = {
     "tpch_q22_sales_opportunity": "1-row global avg-balance aggregate",
     "tpch_q11_important_stock": "1-row global supply-value aggregate",
+    "unigram_lm_score": "1-row global token-total aggregate",
     "a8_fuzzy_precision_count": "fixed sentence-variant literal table",
     "a9_vote_majority": "fixed judge-panel literal table",
     "extract_triplet_pipeline": "fixed rule/prompt literal table",
