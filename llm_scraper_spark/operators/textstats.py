@@ -12,7 +12,7 @@ Python in the hot path; DuckDB oracle twins produce identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "data", "join"]
@@ -330,6 +330,78 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile points for the length profile, in percent (rank-based
+#: "lower" quantile: the value at 0-based rank floor(p·(n-1)/100) of
+#: the ascending sort — pure integer index arithmetic, so Spark and
+#: DuckDB agree exactly; interpolating definitions (quantile_cont /
+#: percentile) mix doubles differently across engines).
+LENGTH_QUANTILES = (25, 50, 75, 95)
+
+
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile: count plus exact rank-based
+    p25/p50/p75/p95 of n_chars.
+
+    Scale shape: one shuffle on source (the window sort) and a single
+    hash agg — at 100 TB per-source partitions sort locally; a skewed
+    mega-source is one sorted partition, the same cost profile as any
+    per-group rank, and the quantile indices prune everything but 4
+    rows per source before the agg."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("_cnt"),
+    )
+    aggs = [F.max("_cnt").cast("long").alias("n_docs")]
+    for p in LENGTH_QUANTILES:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"({p} * (_cnt - 1)) div 100"),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}")
+        )
+    return ranked.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch gate: HyperLogLog++ distinct-user estimate per event
+    type, self-checked against the exact count (rsd=2%, accepted
+    within ±5%).  The HLL estimate itself is engine-specific, so the
+    emitted columns are the exact count and the within-tolerance flag;
+    the DuckDB twin recomputes the exact count and pins the flag to 1
+    — a drifting sketch flips the flag and fails the value hash.  At
+    100 TB the sketch is the point: mergeable fixed-size state instead
+    of a distinct shuffle of the full key set."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("within_tolerance"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_SQL = {
     "text_quality": f"""
         WITH t AS (
@@ -455,9 +527,35 @@ ORACLE_SQL["unigram_lm_score"] = f"""
     FROM doc ORDER BY doc_id
 """
 
+ORACLE_SQL["corpus_length_quantiles"] = f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) - 1 AS _rn,
+             count(*) OVER (PARTITION BY source) AS _cnt
+      FROM documents
+    )
+    SELECT source, CAST(max(_cnt) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(max(CASE WHEN _rn = ({p} * (_cnt - 1)) // 100 "
+               f"THEN n_chars END) AS BIGINT) AS p{p}"
+               for p in LENGTH_QUANTILES
+           )}
+    FROM ranked GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["approx_distinct_gate"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_tolerance
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "text_quality": text_quality,
     "unigram_lm_score": unigram_lm_score,
+    "corpus_length_quantiles": corpus_length_quantiles,
+    "approx_distinct_gate": approx_distinct_gate,
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
