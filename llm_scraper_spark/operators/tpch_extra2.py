@@ -16,7 +16,10 @@ EXISTS / NOT-EXISTS self-join on the fact.
 
 Plan discipline (same as tpch_extra.py):
 - per-table filters issued before joins (parquet pushdown);
-- tiny dims (supplier=10·SF, nation=25, region=5) broadcast;
+- only FIXED-cardinality dims (nation=25, region=5) and 1-row global
+  aggregates carry compile-time broadcast hints; supplier/part/customer
+  scale with SF, so those joins are left to AQE, which picks broadcast
+  at runtime only when the built side actually fits;
 - the supply relation aggregates lineitem FIRST (map-side partials on
   (partkey, suppkey)), so the expensive fact is reduced before any
   join — at 100 TB the supply agg is the only full-fact shuffle and
@@ -74,8 +77,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the ASIA supplier(s)
     offering the minimum supply cost.  The correlated scalar subquery
     becomes a window min over the region-filtered supply relation —
-    one shuffle on ps_partkey, no self-join; supplier/nation/region
-    dims broadcast."""
+    one shuffle on ps_partkey, no self-join; nation/region broadcast,
+    the supplier and part joins sized by AQE (both scale with SF)."""
     supply = _supply(spark, sf_dir)
     nat = _t(spark, sf_dir, "nation").join(
         F.broadcast(
@@ -90,14 +93,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
     eligible = supply.join(
-        F.broadcast(supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
         supply.ps_suppkey == F.col("s_suppkey"),
     )
     w = Window.partitionBy("ps_partkey")
     return (
         eligible.withColumn("min_cost", F.min("ps_cost").over(w))
         .filter(F.col("ps_cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -119,7 +122,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     name-matched parts.  Supply cost stands in as 10% of p_retailprice
     per unit.  Both money legs sum decimal-exact and combine as
     doubles only at the end; part filter pushes into the scan before
-    the fact join; supplier+nation broadcast."""
+    the fact join; nation broadcast, part/supplier joins sized by
+    AQE."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -127,10 +131,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            part.select("p_partkey", "p_retailprice"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -178,7 +182,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(asia_supp.select("s_suppkey")),
+        asia_supp.select("s_suppkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_semi",
     )
@@ -203,8 +207,9 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
     size) over attribute-filtered parts, excluding complaint suppliers
-    via NOT IN (anti-join of a 10·SF-row broadcast).  The supply pairs
-    aggregate first; part attributes broadcast onto the pair."""
+    via NOT IN (anti-join against the filtered supplier set).  The
+    supply pairs aggregate first; the part and supplier joins scale
+    with SF, so AQE sizes them at runtime."""
     supply = _supply(spark, sf_dir).select("ps_partkey", "ps_suppkey")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -216,12 +221,12 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         supply.join(
-            F.broadcast(bad_supp.select("s_suppkey")),
+            bad_supp.select("s_suppkey"),
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -246,7 +251,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
         .join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -267,7 +272,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(dominant),
+            dominant,
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -314,7 +319,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("numwait"))
         .join(
-            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
