@@ -17,6 +17,7 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -25,6 +26,12 @@ def get_spark(
       UDF (input_hint forbids per-row Python).
     - shuffle.partitions sized to cores (local) — on a real cluster this
       is overridden per deployment; AQE coalesces the excess.
+    - ``cluster=True`` is the ``spark-submit`` path: the master comes
+      from ``--master`` (code must NOT set one — a code-side master
+      silently overrides the submit flag), and driver memory / GC
+      options come from ``spark-submit --conf`` / ``--driver-memory``
+      (setting driver JVM options after the JVM is already up is a
+      no-op at best).  Used by scripts/submit_crawl.py.
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -33,9 +40,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(n_cores, 32)
 
+    builder = SparkSession.builder
+    if not cluster:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -45,22 +54,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        # Throughput batch workload → ParallelGC.  G1 (the default)
-        # with a large heap was measured entering concurrent-cycle
-        # churn on this workload's allocation pattern (Arrow batches +
-        # large span arrays): bimodal 100-600 s whole-JVM slowdowns at
-        # 10-20x the CPU for identical work.  ParallelGC removed the
-        # mode entirely (3770-8436 -> 12k-21k URLs/s at local[8]).
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
-        )
     )
+    if not cluster:
+        builder = (
+            builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+            )
+            # Throughput batch workload → ParallelGC.  G1 (the default)
+            # with a large heap was measured entering concurrent-cycle
+            # churn on this workload's allocation pattern (Arrow batches +
+            # large span arrays): bimodal 100-600 s whole-JVM slowdowns at
+            # 10-20x the CPU for identical work.  ParallelGC removed the
+            # mode entirely (3770-8436 -> 12k-21k URLs/s at local[8]).
+            .config(
+                "spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+            )
+            .config(
+                "spark.executor.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
