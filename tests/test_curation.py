@@ -105,3 +105,37 @@ def test_degenerate_docs_never_divide_by_zero(spark):
     by_id = {r["doc_id"]: r for r in rep}
     assert by_id[3]["dup_word_ratio"] == 0.75  # 'a a a a' -> 3 dups of 4
     assert by_id[2]["dup_word_ratio"] == 0.0
+
+
+def test_dsir_scores_separate_target_sources(spark):
+    """The DSIR importance score must actually discriminate: docs from
+    target-split sources (suffix % 5 == 0) score strictly higher on
+    average than the rest, and the keep flag / fixed-point mean are
+    consistent with the raw integer sum."""
+    rows = curation.QUERIES["dsir_importance_score"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    import duckdb
+
+    src = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, CAST(substr(source, 4) AS INT) "
+            f"% {curation.DSIR_TARGET_SRC_MOD} = 0 "
+            f"FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    in_t, out_t = [], []
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["dsir_keep"] == (1 if r["dsir_sum_fp"] >= 0 else 0)
+        # Spark div truncates toward zero; re-derive in Python the same way
+        q = abs(r["dsir_sum_fp"]) // r["n_tokens"]
+        expect = q if r["dsir_sum_fp"] >= 0 else -q
+        assert r["mean_dsir_fp"] == expect
+        (in_t if src[r["doc_id"]] else out_t).append(
+            r["dsir_sum_fp"] / r["n_tokens"]
+        )
+    assert in_t and out_t
+    assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t) + 10, (
+        "target-source docs should score clearly higher than the rest"
+    )
