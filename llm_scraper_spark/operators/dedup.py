@@ -247,6 +247,131 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+# ------------------------------------------------------ incremental dedup
+#: deterministic new-shard construction for the incremental query:
+#: near-copies get this tail appended (high-but-not-1.0 Jaccard)
+INC_NEAR_ID = 3_000_000
+INC_EXACT_ID = 4_000_000
+
+
+def _mh_bands(sh: DataFrame) -> DataFrame:
+    """shingles → (doc_id, band, bkey) LSH band rows, UNCAPPED — the
+    same signature/band construction as `_minhash_pairs` (kept in
+    lockstep with it and with the oracle band CTEs)."""
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(md5(concat(shingle, '#{b}'))) AS mh{b}")
+            for b in range(N_MINHASH)
+        ]
+    )
+    band_keys = ", ".join(
+        f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1}))"
+        for b in range(N_MINHASH // 2)
+    )
+    return minh.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW crawl shard against the EXISTING
+    corpus — the daily-ingestion pattern at 100 TB, where re-LSHing
+    the whole corpus per shard is off the table: the corpus keeps a
+    persisted MinHash band index (here rebuilt from the split, since
+    the sandbox has no state store; the band construction is exactly
+    `_minhash_pairs`'s, so a materialized index is a drop-in), and
+    only the new shard is shingled+hashed, probed against the index
+    with a (band, bkey) equi-join, and exact-Jaccard-verified on the
+    collisions.  Cost per shard: O(shard) hashing + O(collisions)
+    verification — independent of corpus size except through bucket
+    occupancy, which the shared MAX_BUCKET hot-bucket cap bounds.
+
+    Deterministic fixture: existing = doc_id % 10 != 0; the new shard
+    is the % 10 == 0 docs (true novelty) ∪ near-copies (% 11 == 0,
+    2-word tail) ∪ exact copies (% 13 == 0) of existing docs, so a
+    correct join provably reports each planted dup and a broken one
+    can't pass.  Output: (batch_doc, corpus_doc, jaccard) per
+    detected duplicate."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            existing.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + INC_NEAR_ID).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" incremental shard tail")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionByName(
+            existing.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + INC_EXACT_ID).alias("doc_id"), "text"
+            )
+        )
+    )
+    esh = _shingles(existing)
+    bsh = _shingles(batch)
+    from pyspark.sql import Window
+
+    # one shared hot-bucket cap over index ∪ probe rows: the window
+    # partitions on the same (band, bkey) the probe join shuffles on,
+    # so the cap adds no extra shuffle (same discipline as
+    # _minhash_pairs / similarity._capped_band_rows)
+    tagged = (
+        _mh_bands(esh)
+        .withColumn("side", F.lit(0))
+        .unionByName(_mh_bands(bsh).withColumn("side", F.lit(1)))
+        .withColumn("bsz", F.count("*").over(Window.partitionBy("band", "bkey")))
+        .filter(F.col("bsz") <= MAX_BUCKET)
+        .drop("bsz")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        tagged.filter(F.col("side") == 1)
+        .select(F.col("doc_id").alias("batch_doc"), "band", "bkey")
+        .join(
+            tagged.filter(F.col("side") == 0).select(
+                F.col("doc_id").alias("corpus_doc"), "band", "bkey"
+            ),
+            ["band", "bkey"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    esz = esh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bsz = bsh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(bsh.alias("sb"), F.col("batch_doc") == F.col("sb.doc_id"))
+        .join(
+            esh.alias("sa"),
+            (F.col("corpus_doc") == F.col("sa.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(bsz.alias("zb"), F.col("batch_doc") == F.col("zb.doc_id"))
+        .join(esz.alias("za"), F.col("corpus_doc") == F.col("za.doc_id"))
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
 # ------------------------------------------------------------ ngram jaccard
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive n-gram Jaccard via the shared-shingle join (the
@@ -843,9 +968,92 @@ ORACLE_SQL = {
     """,
 }
 
+def _sh_sql(src: str, name: str) -> str:
+    """Parameterized DuckDB twin of `_shingles` over CTE ``src``."""
+    return f"""
+        {name} AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) >= 3
+                          THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                          ELSE [text] END) AS shingle
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM {src})
+          )
+        )"""
+
+
+def _bands_sql(shname: str, name: str) -> str:
+    """Parameterized DuckDB twin of `_mh_bands` over shingle CTE
+    ``shname`` (uncapped — the shared cap is applied by the caller)."""
+    mh = ", ".join(
+        f"min(md5(shingle || '#{b}')) AS mh{b}" for b in range(N_MINHASH)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, "
+        f"md5(mh{2 * band} || '|' || mh{2 * band + 1}) AS bkey FROM {name}_mh"
+        for band in range(N_MINHASH // 2)
+    )
+    return f"""
+        {name}_mh AS (SELECT doc_id, {mh} FROM {shname} GROUP BY doc_id),
+        {name} AS ({unions})"""
+
+
+ORACLE_SQL["dedup_incremental"] = f"""
+    WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + {INC_NEAR_ID} AS doc_id,
+             text || ' incremental shard tail' AS text
+      FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + {INC_EXACT_ID} AS doc_id, text
+      FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 13 = 0
+    ),
+    {_sh_sql("existing", "esh")},
+    {_sh_sql("batch", "bsh")},
+    {_bands_sql("esh", "ebands")},
+    {_bands_sql("bsh", "bbands")},
+    allb AS (
+      SELECT doc_id, band, bkey, 0 AS side FROM ebands
+      UNION ALL
+      SELECT doc_id, band, bkey, 1 AS side FROM bbands
+    ),
+    capped AS (
+      SELECT doc_id, band, bkey, side FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM allb
+      ) WHERE bsz <= {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS corpus_doc
+      FROM capped b JOIN capped a
+        ON a.band = b.band AND a.bkey = b.bkey AND b.side = 1 AND a.side = 0
+    ),
+    esz AS (SELECT doc_id, count(*) AS n_sh FROM esh GROUP BY doc_id),
+    bsz AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.batch_doc, c.corpus_doc, count(*) AS n_inter
+      FROM cand c
+      JOIN bsh sb ON sb.doc_id = c.batch_doc
+      JOIN esh sa ON sa.doc_id = c.corpus_doc AND sa.shingle = sb.shingle
+      GROUP BY c.batch_doc, c.corpus_doc
+    )
+    SELECT i.batch_doc, i.corpus_doc,
+           CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN bsz zb ON zb.doc_id = i.batch_doc
+    JOIN esz za ON za.doc_id = i.corpus_doc
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY batch_doc, corpus_doc
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,

@@ -37,3 +37,42 @@ def test_minhash_finds_planted_near_dups(spark):
     assert len(caught) >= 0.8 * len(planted), (len(caught), len(planted))
     # LSH returns a subset of the exhaustive ground truth (same verifier)
     assert pairs <= exhaustive
+
+
+def test_incremental_finds_planted_cross_shard_dups(spark):
+    """Every planted new-shard duplicate must be matched back to its
+    existing-corpus source: exact copies at jaccard 1.0, near copies
+    above threshold; true-novelty shard docs must not match."""
+    from llm_scraper_spark.operators.dedup import INC_EXACT_ID, INC_NEAR_ID
+
+    rows = QUERIES["dedup_incremental"](spark, SF_DIR).collect()
+    assert rows, "planted cross-shard duplicates must be found"
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_doc"], []).append(r)
+    import duckdb
+
+    existing = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' "
+            f"WHERE doc_id % 10 <> 0"
+        ).fetchall()
+    ]
+    for d in existing:
+        if d % 13 == 0:
+            hits = by_batch.get(d + INC_EXACT_ID, [])
+            assert any(
+                h["corpus_doc"] == d and h["jaccard"] == 1.0 for h in hits
+            ), f"exact copy of {d} not matched"
+        if d % 11 == 0:
+            hits = by_batch.get(d + INC_NEAR_ID, [])
+            assert any(h["corpus_doc"] == d for h in hits), (
+                f"near copy of {d} not matched"
+            )
+    # side correctness: matches always point FROM the new shard INTO
+    # the existing corpus (the corpus has natural near-dups — e.g. doc
+    # 0 ≈ doc 50 — so novel shard docs may legitimately match too)
+    for r in rows:
+        assert r["corpus_doc"] % 10 != 0 and r["corpus_doc"] < INC_NEAR_ID
+        assert r["batch_doc"] % 10 == 0 or r["batch_doc"] >= INC_NEAR_ID
