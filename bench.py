@@ -333,12 +333,18 @@ def bench_crawl_scaling() -> dict:
         c = _ceiling()
         return bool(c) and p["big_thr"] >= CEILING_FRACTION * c
 
+    def _clock_mean(r: dict) -> float | None:
+        cp = r.get("clock_probe") or {}
+        vals = [v for v in (cp.get("pre"), cp.get("post")) if v]
+        return sum(vals) / len(vals) if vals else None
+
     def _run_pair(small: int, big: int) -> None:
         rs, rb = _run_family(small, big, seeds)
         for cores, r in ((small, rs), (big, rb)):
             r["cores"] = cores
             out["runs"].append(r)
             thr[cores].append(_steady(r))
+        cs, cb = _clock_mean(rs), _clock_mean(rb)
         pairs.append(
             {
                 "family": f"{small}to{big}",
@@ -346,6 +352,12 @@ def bench_crawl_scaling() -> dict:
                 "big": big,
                 "small_thr": thr[small][-1],
                 "big_thr": thr[big][-1],
+                # cycle-delivery regime ratio between the two legs
+                # (each leg's own pinned matmul probe): 1.0 = matched
+                # clocks; reported context for reading eff, not an
+                # estimator input (yet — promote after a validation
+                # round if it correlates)
+                "clock_ratio": round(cs / cb, 3) if cs and cb else None,
                 "eff": (
                     round(thr[big][-1] / thr[small][-1] / (big / small), 3)
                     if thr[small][-1] and thr[big][-1]

@@ -14,13 +14,41 @@ import argparse
 import json
 import shutil
 import tempfile
+import time
 
 from .plans.crawler import Crawler
 from .session import get_spark
 from .sources.synthweb import bench_robots_rows, bench_seed_urls
 
 
+def _clock_probe(seconds: float = 1.5) -> float | None:
+    """Single-thread matmul rate inside THIS (pinned) process — a
+    direct per-leg measurement of the cycle-delivery regime the leg ran
+    under.  Motivation (BASELINE.md, 2026-08-19): across one evening
+    the host's 1-core legs sped up ~10% while the 8/32-core points fell
+    8-20% (turbo-probe ratio 0.83 — inverse clock asymmetry), which no
+    engine change can produce; per-leg clocks let a pair's efficiency
+    be read NEXT TO its clock ratio instead of inferring weather from
+    the throughput being measured.  Reported context, not an estimator
+    input."""
+    try:
+        import numpy as np
+
+        a = np.random.default_rng(0).random((384, 384))
+        for _ in range(3):
+            a @ a  # warm
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            a @ a
+            n += 1
+        return round(n / (time.perf_counter() - t0), 1)
+    except Exception:
+        return None  # diagnostic only — never abort the leg
+
+
 def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
+    clock_pre = _clock_probe()
     spark = get_spark(
         f"bench-crawl-{cores}", cores=cores, shuffle_partitions=max(cores, 8)
     )
@@ -69,6 +97,10 @@ def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
             "steady_urls_per_sec": (
                 round(s_fetched / s_elapsed, 2) if s_elapsed else None
             ),
+            # per-leg cycle-delivery regime (matmuls/s pre and post the
+            # rounds, measured in this pinned process) — lets a pair's
+            # efficiency be read next to its legs' clock ratio
+            "clock_probe": {"pre": clock_pre, "post": _clock_probe()},
             # per-round phase evidence for the scaling criterion audit
             "rounds_detail": [
                 {
