@@ -34,13 +34,18 @@ def _clock_probe(seconds: float = 1.5) -> float | None:
     try:
         import numpy as np
 
-        a = np.random.default_rng(0).random((384, 384))
+        # elementwise kernel, NOT matmul: numpy matmul dispatches to a
+        # multi-threaded BLAS, which silently uses the whole cpuset —
+        # measured: a 4-core leg probed ~3.6x a 1-core leg's "clock".
+        # Elementwise ufuncs are single-threaded, so the rate tracks
+        # one core's delivered cycles regardless of the leg's cpuset.
+        a = np.random.default_rng(0).random(1 << 16)
         for _ in range(3):
-            a @ a  # warm
+            (a * 1.0000001 + 0.5).sum()  # warm
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < seconds:
-            a @ a
+            (a * 1.0000001 + 0.5).sum()
             n += 1
         return round(n / (time.perf_counter() - t0), 1)
     except Exception:
