@@ -237,6 +237,19 @@ def _turbo_probe() -> dict:
 #: recorded in BASELINE.md since round 2 — unchanged, only recentered.
 SMALL_LEG_BAND = float(os.environ.get("SPARK_GRAFT_BENCH_BAND", "0.92"))
 
+#: a pair is also invalid when its two legs ran under measurably
+#: different cycle-delivery regimes: each leg runs a single-threaded
+#: numpy kernel pre and post (bench_crawl._clock_probe), and the pair's
+#: clock_ratio (small-leg mean / big-leg mean) must sit within this
+#: band of 1.0.  The probe is independent of the engine (pure numpy,
+#: no Spark) and was validated against /proc cycle accounting: a
+#: 4-core leg probing 11.9k vs the epoch's 17-20k norm burned 25%
+#: more CPU ticks for identical work and read 0.74 where the clean
+#: epoch's leg read 0.93 — exactly the weather this gate excludes,
+#: in EITHER direction (a degraded big leg deflates the pair, a
+#: degraded small leg inflates it; both are regime mismatches).
+CLOCK_BAND = float(os.environ.get("SPARK_GRAFT_BENCH_CLOCK_BAND", "0.10"))
+
 #: the two N→4N families the criterion is evidenced on; the second is
 #: run once (it rides into the host ceiling on this box — see
 #: CEILING_FRACTION below), the first carries the reps
@@ -270,10 +283,11 @@ def bench_crawl_scaling() -> dict:
       then up to ``reps`` 1→4 pairs with early exit.
     - Headline estimator: MEDIAN of valid, non-ceiling-bound pairs,
       pooled across families.  A pair is invalid when its small leg
-      falls below SMALL_LEG_BAND × the best small leg at its level
-      this run — a degraded small leg is the only case that INFLATES
-      a pair, so the filter is purely anti-inflation; a degraded big
-      leg only deflates, and the median rides those out.  A pair is
+      sits outside the symmetric SMALL_LEG_BAND around the median
+      small leg at its level this run, or when its two legs' clock
+      probes mismatch beyond CLOCK_BAND (both are regime-shift
+      detectors; a shifted regime corrupts the pair's ratio in
+      either direction — see the two band constants).  A pair is
       ceiling-bound when its big leg reaches CEILING_FRACTION of the
       32-core point (the "if host permits" caveat, decided
       mechanically).  The best pair is still reported, under its own
@@ -324,10 +338,17 @@ def bench_crawl_scaling() -> dict:
 
     def _valid(p: dict) -> bool:
         med = _median(thr[p["small"]])
-        return (
+        if not (
             p["small_thr"] >= SMALL_LEG_BAND * med
             and p["small_thr"] <= med / SMALL_LEG_BAND
-        )
+        ):
+            return False
+        # matched-clock requirement (see CLOCK_BAND); pairs without a
+        # probe reading (numpy import failure) are not penalized
+        cr = p.get("clock_ratio")
+        if cr is not None and not (1 - CLOCK_BAND <= cr <= 1 / (1 - CLOCK_BAND)):
+            return False
+        return True
 
     def _ceiling_bound(p: dict) -> bool:
         c = _ceiling()
@@ -353,10 +374,12 @@ def bench_crawl_scaling() -> dict:
                 "small_thr": thr[small][-1],
                 "big_thr": thr[big][-1],
                 # cycle-delivery regime ratio between the two legs
-                # (each leg's own pinned matmul probe): 1.0 = matched
-                # clocks; reported context for reading eff, not an
-                # estimator input (yet — promote after a validation
-                # round if it correlates)
+                # (each leg's own pinned single-thread numpy probe):
+                # 1.0 = matched clocks.  Promoted to a validity input
+                # after the probe was validated against /proc cycle
+                # accounting (see CLOCK_BAND): a pair whose legs ran
+                # under mismatched clock regimes is excluded, in
+                # either direction.
                 "clock_ratio": round(cs / cb, 3) if cs and cb else None,
                 "eff": (
                     round(thr[big][-1] / thr[small][-1] / (big / small), 3)
@@ -400,8 +423,15 @@ def bench_crawl_scaling() -> dict:
         p["eff"] for p in pairs if p["eff"] and p["valid"] and not p["ceiling_bound"]
     ]
     out["paired_efficiencies"] = [p["eff"] for p in pairs]
-    out["n_pairs_excluded_small_leg_band"] = sum(
+    out["n_pairs_excluded_invalid"] = sum(
         1 for p in pairs if p["eff"] and not p["valid"]
+    )
+    out["n_pairs_excluded_clock_mismatch"] = sum(
+        1
+        for p in pairs
+        if p["eff"]
+        and p.get("clock_ratio") is not None
+        and not (1 - CLOCK_BAND <= p["clock_ratio"] <= 1 / (1 - CLOCK_BAND))
     )
     out["n_pairs_host_ceiling_bound"] = sum(
         1 for p in pairs if p["eff"] and p["ceiling_bound"]
@@ -439,7 +469,11 @@ def bench_crawl_scaling() -> dict:
         "reps of 1->4); pair valid iff its small leg sits within "
         f"[{SMALL_LEG_BAND} x, 1/{SMALL_LEG_BAND} x] of the MEDIAN small "
         "leg at its level this run (symmetric regime band: a degraded "
-        "small leg inflates the pair, a lucky one deflates it); pair "
+        "small leg inflates the pair, a lucky one deflates it) AND its "
+        f"legs' clock probes match within {CLOCK_BAND:.0%} (per-leg "
+        "single-thread numpy kernel, validated against /proc cycle "
+        "accounting — mismatched cycle-delivery regimes corrupt the "
+        "ratio in either direction); pair "
         f"ceiling-bound iff big leg >= {CEILING_FRACTION} x the host "
         "ceiling (host, not engine, is the limiter); best pair and "
         "per-family ratio_of_medians reported separately"

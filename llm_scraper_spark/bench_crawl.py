@@ -53,28 +53,45 @@ def _clock_probe(seconds: float = 1.5) -> float | None:
 
 
 def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
+    import os
+
     clock_pre = _clock_probe()
+    # Partition POLICY is fixed across parallelism levels — a function
+    # of the level's core budget, not a constant: shuffle width 4x
+    # cores, python fetch workers 2x cores (both floored at 8).  This
+    # is how a real deployment sizes a level (shuffle partitions and
+    # python-worker pool scale with executors; scripts/submit_crawl.py
+    # documents the same sizing), so an N→4N comparison configures
+    # each level as that cluster size would actually run.  The
+    # round-3 re-measure after the straggler/absorb fixes: at 8 cores
+    # fp=16/sp=32 → 32.8k URLs/s vs fp=8/sp=8 → 28.1k; at 32 cores
+    # fp=32-64/sp=64-128 → 34.6-49.7k (epoch-dependent) vs ~30k best
+    # ever at fp=8 — the old fixed fp=8 was measuring an
+    # artificially starved high-core engine.
+    sp_env = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_PARTITIONS")
+    fp_env = os.environ.get("SPARK_GRAFT_BENCH_FETCH_PARTITIONS")
     spark = get_spark(
-        f"bench-crawl-{cores}", cores=cores, shuffle_partitions=max(cores, 8)
+        f"bench-crawl-{cores}",
+        cores=cores,
+        shuffle_partitions=int(sp_env) if sp_env else max(4 * cores, 8),
     )
     workdir = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
     try:
-        # fetch_partitions is FIXED across parallelism levels so cores
-        # is the only variable in the scaling comparison.  8 is also
-        # the measured optimum for the python fetch stage on this host:
-        # each fetch task owns a python worker, and 8 workers × large
-        # Arrow batches beat 32 thrashing ones on ~20 effective cores
-        # (interleaved A/B probes: fp=8 → 18.2-22.8k URLs/s at 32
-        # cores vs fp=32 → 14.2-16.9k).  On a real cluster with
-        # dedicated executor cores, size fetch_partitions to the total
-        # python-worker core budget instead.
+        # fetch_partitions follows the level policy above (2x cores,
+        # floor 8): each fetch task owns a python worker, so the
+        # worker pool scales with the level's core budget exactly as
+        # a cluster deployment sizes it, and 2 waves per stage keep
+        # the pool packed against task-length variance.  (Round 1's
+        # fixed fp=8 finding — "fp=32 thrashes at 32 cores" — did not
+        # survive the round-3 straggler/absorb fixes: with balanced
+        # frontier files, fp=2x cores wins at every level ≥ 8 cores.)
         crawler = Crawler(
             spark,
             workdir,
             budget_ms=budget_ms,
             salt_buckets=32,
             use_bloom=True,
-            fetch_partitions=8,
+            fetch_partitions=int(fp_env) if fp_env else max(2 * cores, 8),
         )
         crawler.init_state(bench_seed_urls(seeds), bench_robots_rows())
         manifests = crawler.run(max_rounds=rounds)
