@@ -264,6 +264,118 @@ FAMILIES = [(1, 4), (2, 8)]
 CEILING_FRACTION = float(os.environ.get("SPARK_GRAFT_BENCH_CEILING", "0.9"))
 
 
+def _median(xs: list[float]) -> float | None:
+    if not xs:
+        return None
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def pair_valid(
+    p: dict,
+    small_med: float | None,
+    *,
+    small_leg_band: float | None = None,
+    clock_band: float | None = None,
+) -> bool:
+    """True iff the pair's two legs ran in the same host regime: the
+    small leg sits within the symmetric throughput band around the
+    median small leg at its level, and the legs' clock probes match
+    within the clock band (see SMALL_LEG_BAND / CLOCK_BAND)."""
+    band = SMALL_LEG_BAND if small_leg_band is None else small_leg_band
+    cband = CLOCK_BAND if clock_band is None else clock_band
+    if small_med and not (
+        p["small_thr"] >= band * small_med and p["small_thr"] <= small_med / band
+    ):
+        return False
+    # matched-clock requirement; pairs without a probe reading (numpy
+    # import failure) are not penalized
+    cr = p.get("clock_ratio")
+    if cr is not None and not (1 - cband <= cr <= 1 / (1 - cband)):
+        return False
+    return True
+
+
+def pair_ceiling_bound(
+    p: dict, ceiling: float, *, ceiling_fraction: float | None = None
+) -> bool:
+    frac = CEILING_FRACTION if ceiling_fraction is None else ceiling_fraction
+    return bool(ceiling) and p["big_thr"] >= frac * ceiling
+
+
+def summarize_pairs(
+    pairs: list[dict],
+    thr: dict[int, list[float]],
+    ceiling: float,
+    *,
+    small_leg_band: float | None = None,
+    clock_band: float | None = None,
+    ceiling_fraction: float | None = None,
+) -> dict:
+    """Annotate pairs (valid / ceiling_bound, in place) and compute
+    every estimator key the bench reports.  Pure function of recorded
+    legs — unit-tested against replayed runs in tests/test_bench_estimator.py."""
+    cband = CLOCK_BAND if clock_band is None else clock_band
+    for p in pairs:
+        p["valid"] = pair_valid(
+            p,
+            _median(thr[p["small"]]),
+            small_leg_band=small_leg_band,
+            clock_band=cband,
+        )
+        p["ceiling_bound"] = pair_ceiling_bound(
+            p, ceiling, ceiling_fraction=ceiling_fraction
+        )
+    out: dict = {"pairs": pairs}
+    usable = [
+        p["eff"] for p in pairs if p["eff"] and p["valid"] and not p["ceiling_bound"]
+    ]
+    out["paired_efficiencies"] = [p["eff"] for p in pairs]
+    out["n_pairs_excluded_invalid"] = sum(
+        1 for p in pairs if p["eff"] and not p["valid"]
+    )
+    out["n_pairs_excluded_clock_mismatch"] = sum(
+        1
+        for p in pairs
+        if p["eff"]
+        and p.get("clock_ratio") is not None
+        and not (1 - cband <= p["clock_ratio"] <= 1 / (1 - cband))
+    )
+    out["n_pairs_host_ceiling_bound"] = sum(
+        1 for p in pairs if p["eff"] and p["ceiling_bound"]
+    )
+    out["best_paired_efficiency"] = max(usable, default=None)
+    out["pairs_over_criterion"] = sum(e >= 0.8 for e in usable)
+    for small, big in FAMILIES:
+        fam = [p["eff"] for p in pairs if p["eff"] and p["small"] == small]
+        out[f"scaling_efficiency_{small}to{big}"] = _median(fam)
+    best = max(
+        (
+            (p["small_thr"], p["big_thr"])
+            for p in pairs
+            if p["eff"] and p["valid"] and not p["ceiling_bound"]
+        ),
+        key=lambda ab: ab[1] / ab[0],
+        default=None,
+    )
+    out["speedup"] = round(best[1] / best[0], 3) if best else None
+    med = _median(usable)
+    if med is None:  # every pair ceiling-bound: report raw valid median
+        med = _median([p["eff"] for p in pairs if p["eff"] and p["valid"]])
+    out["scaling_efficiency"] = round(med, 3) if med is not None else None
+    # disclosed secondary estimator: pool all legs per level, ratio of
+    # medians — maximally robust to per-leg weather, but it decouples
+    # the legs (no adjacency), so it is context, not the headline
+    for small, big in FAMILIES:
+        ms, mb = _median(thr.get(small) or []), _median(thr.get(big) or [])
+        if ms and mb:
+            out[f"ratio_of_medians_{small}to{big}"] = round(
+                mb / ms / (big / small), 3
+            )
+    return out
+
+
 def bench_crawl_scaling() -> dict:
     """N vs 4N cores on the same input, two families: 1→4 and 2→8.
 
@@ -303,13 +415,6 @@ def bench_crawl_scaling() -> dict:
     thr: dict[int, list[float]] = {c: [] for f in FAMILIES for c in f}
     pairs: list[dict] = []  # {family, small, big, small_thr, big_thr, eff}
 
-    def _median(xs: list[float]) -> float | None:
-        if not xs:
-            return None
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
     def _steady(r: dict) -> float:
         return r.get("steady_urls_per_sec") or r.get("urls_per_sec") or 0.0
 
@@ -335,24 +440,6 @@ def bench_crawl_scaling() -> dict:
         # later did 20.2k) would otherwise classify every pair as
         # "ceiling-bound" and empty the headline estimator.
         return max((_steady(r) for r in out["runs"]), default=0.0)
-
-    def _valid(p: dict) -> bool:
-        med = _median(thr[p["small"]])
-        if not (
-            p["small_thr"] >= SMALL_LEG_BAND * med
-            and p["small_thr"] <= med / SMALL_LEG_BAND
-        ):
-            return False
-        # matched-clock requirement (see CLOCK_BAND); pairs without a
-        # probe reading (numpy import failure) are not penalized
-        cr = p.get("clock_ratio")
-        if cr is not None and not (1 - CLOCK_BAND <= cr <= 1 / (1 - CLOCK_BAND)):
-            return False
-        return True
-
-    def _ceiling_bound(p: dict) -> bool:
-        c = _ceiling()
-        return bool(c) and p["big_thr"] >= CEILING_FRACTION * c
 
     def _clock_mean(r: dict) -> float | None:
         cp = r.get("clock_probe") or {}
@@ -392,12 +479,15 @@ def bench_crawl_scaling() -> dict:
     _run_pair(2, 8)  # the secondary family, once
     for _rep in range(reps):
         _run_pair(1, 4)
+        interim = summarize_pairs(
+            [dict(p) for p in pairs], thr, _ceiling()
+        )
+        med_now = interim["scaling_efficiency"]
         usable = [
             p["eff"]
-            for p in pairs
-            if p["eff"] and _valid(p) and not _ceiling_bound(p)
+            for p in interim["pairs"]
+            if p["eff"] and p["valid"] and not p["ceiling_bound"]
         ]
-        med_now = _median(usable)
         # Early exit once the headline clears the criterion with margin
         # AND ≥2 usable pairs individually clear it: further reps exist
         # only to ride out host-interference epochs.  The per-pair bar
@@ -415,55 +505,7 @@ def bench_crawl_scaling() -> dict:
     for c, v in thr.items():
         out[f"cores_{c}"] = {"urls_per_sec": _median(v), "all": v}
     out["host_ceiling_urls_per_sec"] = _ceiling()
-    for p in pairs:
-        p["valid"] = _valid(p)
-        p["ceiling_bound"] = _ceiling_bound(p)
-    out["pairs"] = pairs
-    usable = [
-        p["eff"] for p in pairs if p["eff"] and p["valid"] and not p["ceiling_bound"]
-    ]
-    out["paired_efficiencies"] = [p["eff"] for p in pairs]
-    out["n_pairs_excluded_invalid"] = sum(
-        1 for p in pairs if p["eff"] and not p["valid"]
-    )
-    out["n_pairs_excluded_clock_mismatch"] = sum(
-        1
-        for p in pairs
-        if p["eff"]
-        and p.get("clock_ratio") is not None
-        and not (1 - CLOCK_BAND <= p["clock_ratio"] <= 1 / (1 - CLOCK_BAND))
-    )
-    out["n_pairs_host_ceiling_bound"] = sum(
-        1 for p in pairs if p["eff"] and p["ceiling_bound"]
-    )
-    out["best_paired_efficiency"] = max(usable, default=None)
-    out["pairs_over_criterion"] = sum(e >= 0.8 for e in usable)
-    for small, big in FAMILIES:
-        fam = [p["eff"] for p in pairs if p["eff"] and p["small"] == small]
-        out[f"scaling_efficiency_{small}to{big}"] = _median(fam)
-    best = max(
-        (
-            (p["small_thr"], p["big_thr"])
-            for p in pairs
-            if p["eff"] and p["valid"] and not p["ceiling_bound"]
-        ),
-        key=lambda ab: ab[1] / ab[0],
-        default=None,
-    )
-    out["speedup"] = round(best[1] / best[0], 3) if best else None
-    med = _median(usable)
-    if med is None:  # every pair ceiling-bound: report raw valid median
-        med = _median([p["eff"] for p in pairs if p["eff"] and p["valid"]])
-    out["scaling_efficiency"] = round(med, 3) if med is not None else None
-    # disclosed secondary estimator: pool all legs per level, ratio of
-    # medians — maximally robust to per-leg weather, but it decouples
-    # the legs (no adjacency), so it is context, not the headline
-    for small, big in FAMILIES:
-        ms, mb = _median(thr[small]), _median(thr[big])
-        if ms and mb:
-            out[f"ratio_of_medians_{small}to{big}"] = round(
-                mb / ms / (big / small), 3
-            )
+    out.update(summarize_pairs(pairs, thr, _ceiling()))
     out["estimator"] = (
         "median of valid, non-ceiling-bound N->4N pairs (one 2->8 pair + "
         "reps of 1->4); pair valid iff its small leg sits within "
