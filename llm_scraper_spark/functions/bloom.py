@@ -138,7 +138,11 @@ def _shard_ids(hashes: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 def build_bloom(
-    seen: DataFrame, capacity: int, fpp: float = 0.01, shards: int = 1
+    seen: DataFrame,
+    capacity: int,
+    fpp: float = 0.01,
+    shards: int = 1,
+    fold_partitions: int | None = None,
 ) -> "BloomFilter | ShardedBloom | None":
     """Distributed build: per-partition bitmaps OR'd on the driver.
 
@@ -147,6 +151,14 @@ def build_bloom(
     the filter by hash range (see ``ShardedBloom``); each map task
     folds its rows into per-shard local bitmaps so the build stays one
     pass either way.
+
+    ``fold_partitions`` coalesces the scan before the fold: every fold
+    task ships one FULL-SIZE partial bitmap to the driver, so the
+    collect volume is tasks × bitmap bytes — over a many-file seen set
+    (hundreds of per-round snapshot files) an unbounded task count was
+    measured moving ~300 MB of partials for a 20M-capacity filter.
+    Coalesce is narrow (no shuffle); the url_hash scan it serializes
+    is 8 bytes/row.
     """
     shards = max(1, shards)
     proto = BloomFilter.empty(-(-capacity // shards), fpp)
@@ -172,11 +184,10 @@ def build_bloom(
                 }
             )
 
-    parts = (
-        seen.select("url_hash")
-        .mapInPandas(fold, "shard int, bitmap binary")
-        .collect()
-    )
+    hashes = seen.select("url_hash")
+    if fold_partitions:
+        hashes = hashes.coalesce(fold_partitions)
+    parts = hashes.mapInPandas(fold, "shard int, bitmap binary").collect()
     if not parts:
         return None
     accs = [np.zeros(m_bits // 64, dtype=np.uint64) for _ in range(shards)]

@@ -272,12 +272,67 @@ class Crawler:
         return raw_html_view(self.documents_df())
 
     # ---- bloom maintenance ---------------------------------------------
+    @staticmethod
+    def _bloom_local_max() -> int:
+        """Row threshold below which bloom builds/absorbs fold the
+        url_hash column driver-side with pyarrow instead of running a
+        Spark job.  Rationale: the distributed build collects one
+        FULL-SIZE partial bitmap per fold task (measured: a rebuild at
+        a 4.9M-row seen set / 20M-capacity filter moved ~300 MB of
+        partials and took 13.7 s of serial round time), while the
+        driver-side fold reads 8 bytes/row once.  Past the threshold
+        the distributed path takes over with a bounded fold width —
+        and past ~30M rows a monolithic bitmap is the wrong tool
+        anyway (ShardedBloom is the 10^10-scale design)."""
+        return int(os.environ.get("SPARK_GRAFT_BLOOM_LOCAL_ABSORB_MAX", 20_000_000))
+
+    def _bloom_fold_local(self, dirs: list[str], bloom) -> int:
+        """Fold the url_hash column of every part file under ``dirs``
+        into ``bloom`` driver-side; returns rows folded."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for path in dirs:
+            if not os.path.isdir(path):
+                continue
+            for name in os.listdir(path):
+                if not name.startswith("part-"):
+                    continue
+                col = pq.read_table(
+                    os.path.join(path, name), columns=["url_hash"]
+                ).column("url_hash")
+                hs = col.to_numpy(zero_copy_only=False)
+                if len(hs):
+                    bloom.add(hs.astype(np.uint64, copy=False))
+                    rows += len(hs)
+        return rows
+
+    def _seen_dirs(self, upto_round: int) -> list[str]:
+        """The parquet dirs whose union is seen_df(upto_round): the
+        latest compacted base plus fetch/blocked deltas since it."""
+        base_round = self.latest_compact_round(upto_round)
+        after = base_round if base_round is not None else -1
+        dirs = []
+        if base_round is not None:
+            dirs.append(self._p("seen_compact", f"r{base_round}.parquet"))
+        dirs += self._paths("fetch", upto_round, after_round=after)
+        dirs += self._paths("blocked", upto_round, after_round=after)
+        return dirs
+
     def _bloom_rebuild(self, upto_round: int, seen_rows: int) -> None:
-        from ..functions.bloom import build_bloom
+        from ..functions.bloom import BloomFilter, build_bloom
 
         cap = max(self.bloom_capacity, 4096, 4 * seen_rows)
         self._bloom_cap = cap
-        self._bloom = build_bloom(self.seen_df(upto_round), capacity=cap)
+        if 0 <= seen_rows <= self._bloom_local_max():
+            bloom = BloomFilter.empty(cap)
+            rows = self._bloom_fold_local(self._seen_dirs(upto_round), bloom)
+            self._bloom = bloom if rows else None
+            return
+        self._bloom = build_bloom(
+            self.seen_df(upto_round), capacity=cap, fold_partitions=16
+        )
 
     def _bloom_absorb(self, r: int, seen_rows: int, delta_rows: int = -1) -> None:
         """OR round r's delta into the incremental filter; rebuild
@@ -317,28 +372,15 @@ class Crawler:
         bpath = self._p("blocked", f"r{r}.parquet")
         if os.path.isdir(bpath):
             paths.append(bpath)
-        local_max = int(os.environ.get("SPARK_GRAFT_BLOOM_LOCAL_ABSORB_MAX", 20_000_000))
-        if 0 <= delta_rows <= local_max:
-            import numpy as np
-            import pyarrow.parquet as pq
-
-            for path in paths:
-                for name in os.listdir(path):
-                    if not name.startswith("part-"):
-                        continue
-                    col = pq.read_table(
-                        os.path.join(path, name), columns=["url_hash"]
-                    ).column("url_hash")
-                    hs = col.to_numpy(zero_copy_only=False)
-                    if len(hs):
-                        self._bloom.add(hs.astype(np.uint64, copy=False))
+        if 0 <= delta_rows <= self._bloom_local_max():
+            self._bloom_fold_local(paths, self._bloom)
             return
         delta = self.spark.read.parquet(paths[0]).select("url_hash")
         for extra in paths[1:]:
             delta = delta.unionByName(
                 self.spark.read.parquet(extra).select("url_hash")
             )
-        part = build_bloom(delta, capacity=self._bloom_cap)
+        part = build_bloom(delta, capacity=self._bloom_cap, fold_partitions=16)
         if part is not None:
             self._bloom.words |= part.words
 

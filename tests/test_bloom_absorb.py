@@ -38,6 +38,29 @@ def test_driver_side_absorb_matches_distributed(spark, tmp_path, monkeypatch):
     assert np.array_equal(c_local._bloom.words, c_dist._bloom.words)
 
 
+def test_resume_rebuild_matches_distributed_over_compacted_base(
+    spark, tmp_path, monkeypatch
+):
+    # a resume rebuilds the bloom from the committed seen set — with a
+    # compacted base in play, the driver-side fold must read base +
+    # deltas exactly as the distributed seen_df build does
+    blooms = {}
+    for mode, local_max in (("local", "100000000"), ("dist", "-1")):
+        monkeypatch.setenv("SPARK_GRAFT_BLOOM_LOCAL_ABSORB_MAX", local_max)
+        wd = tmp_path / mode
+        c = Crawler(spark, str(wd), budget_ms=2000, use_bloom=True, compact_every=1)
+        c.init_state(seed_urls(150), robots_rows())
+        c.run(max_rounds=2)
+        # fresh instance = resume path: _bloom_rebuild from manifests
+        c2 = Crawler(spark, str(wd), budget_ms=2000, use_bloom=True, compact_every=1)
+        c2.run(max_rounds=3)
+        assert c2._bloom is not None
+        blooms[mode] = c2._bloom
+    assert blooms["local"].m_bits == blooms["dist"].m_bits
+    assert blooms["local"].k == blooms["dist"].k
+    assert np.array_equal(blooms["local"].words, blooms["dist"].words)
+
+
 def test_absorb_covers_all_seen_urls(spark, tmp_path, monkeypatch):
     # no-false-negative contract: every committed seen url_hash probes
     # positive after driver-side absorbs (rebuild-free rounds included)
