@@ -307,25 +307,30 @@ def _ship_table(spark: SparkSession, table, schema: str, owner) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
-def bloom_probe_col(arr, m_bits: int, k: int, hash_col) -> "F.Column":
+def bloom_probe_col(arr_sql: str, m_bits: int, k: int, hash_sql: str) -> "F.Column":
     """JVM-side Bloom probe over an ``array<bigint>`` bitmap column:
     k shift/xor/mask probes + element_at/getbit — whole-stage-
     codegen'd, no Python in the filter path.  The arithmetic mirrors
-    ``BloomFilter._indices`` bit-for-bit (see the mixing note above)."""
-    h1 = hash_col.bitwiseAND(F.lit((1 << 63) - 1))
-    h1m = h1.bitwiseAND(F.lit((1 << 61) - 1))
+    ``BloomFilter._indices`` bit-for-bit (see the mixing note above).
+
+    Takes SQL fragments (column names / expressions), not Columns, and
+    parses the whole k-probe predicate as ONE expression: the previous
+    Column-API composition cost ~140 ms of py4j round trips per round
+    plan — pure serial driver time at every cluster size.  The parsed
+    tree and generated code are identical either way (equality-tested
+    against the numpy probe in tests/test_bloom_jvm.py)."""
+    h1 = f"({hash_sql} & {(1 << 63) - 1})"
+    h1m = f"({h1} & {(1 << 61) - 1})"
     h2 = (
-        h1.bitwiseXOR(F.shiftright(h1, 31))
-        .bitwiseXOR(F.shiftleft(h1, 17))
-        .bitwiseAND(F.lit((1 << 58) - 1))
-        .bitwiseOR(F.lit(1))
+        f"((({h1} ^ shiftright({h1}, 31) ^ shiftleft({h1}, 17)) "
+        f"& {(1 << 58) - 1}) | 1)"
     )
-    flag = F.lit(True)
+    probes = []
     for i in range(k):
-        idx = F.pmod(h1m + F.lit(i) * h2, F.lit(m_bits))
-        word = F.element_at(arr, (F.shiftright(idx, 6) + 1).cast("int"))
-        flag = flag & (F.getbit(word, F.pmod(idx, F.lit(64))) == 1)
-    return flag
+        idx = f"pmod({h1m} + {i} * {h2}, {m_bits}L)"
+        word = f"element_at({arr_sql}, cast(shiftright({idx}, 6) + 1 as int))"
+        probes.append(f"(getbit({word}, cast(pmod({idx}, 64) as int)) = 1)")
+    return F.expr("(" + " AND ".join(probes) + ")")
 
 
 def with_bloom_flag(
@@ -353,14 +358,12 @@ def with_bloom_flag(
         return (
             probed.withColumn(
                 "_maybe_seen",
-                bloom_probe_col(
-                    F.col("_bloom_arr"), bloom.m_bits, bloom.k, F.col(col)
-                ),
+                bloom_probe_col("_bloom_arr", bloom.m_bits, bloom.k, col),
             )
             .drop("_bloom_arr", "_bloom_shard")
         )
     probed = df.join(F.broadcast(bitmap_df(spark, bloom)))
     return probed.withColumn(
         "_maybe_seen",
-        bloom_probe_col(F.col("_bloom_arr"), bloom.m_bits, bloom.k, F.col(col)),
+        bloom_probe_col("_bloom_arr", bloom.m_bits, bloom.k, col),
     ).drop("_bloom_arr")

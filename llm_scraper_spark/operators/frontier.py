@@ -52,9 +52,21 @@ class RoundResult:
     fetch_log: DataFrame      # projection of fetched (FETCH_LOG schema)
     documents: DataFrame      # projection of fetched (doc_id, spans, round)
     seen_delta: DataFrame     # fetched ∪ blocked projections (SEEN schema)
-    next_frontier: DataFrame  # FRONTIER schema (deferred ∪ new links)
+    # FRONTIER schema (deferred ∪ new links) — built on first access:
+    # constructing the delta plan costs ~0.4 s of py4j round trips, and
+    # the Crawler never reads this attribute (it derives the next
+    # frontier from the WRITTEN snapshot instead; see Crawler.run)
+    _next_frontier_factory: object = None
     metrics: dict = field(default_factory=dict)
     _cached: list = field(default_factory=list)
+
+    @property
+    def next_frontier(self) -> DataFrame:
+        if self._next_frontier_factory is not None and not isinstance(
+            self._next_frontier_factory, DataFrame
+        ):
+            self._next_frontier_factory = self._next_frontier_factory()
+        return self._next_frontier_factory
 
     def unpersist(self) -> None:
         for df in self._cached:
@@ -217,23 +229,22 @@ def run_round(
         .mapInPandas(_fetch_map, _FETCH_SCHEMA)
     )
 
-    fetch_log = fetched_projections(fetched, round_no)["fetch_log"]
-    documents = fetched_projections(fetched, round_no)["documents"]
-    seen_delta = fetched_projections(fetched, round_no)["seen_delta"].unionByName(
-        blocked_seen
-    )
-    next_frontier = deferred.unionByName(
-        frontier_delta(fetched, seen, seen_delta, deferred, round_no=round_no)
-    )
+    projections = fetched_projections(fetched, round_no)
+    seen_delta = projections["seen_delta"].unionByName(blocked_seen)
+
+    def _next_frontier() -> DataFrame:
+        return deferred.unionByName(
+            frontier_delta(fetched, seen, seen_delta, deferred, round_no=round_no)
+        )
 
     return RoundResult(
         fetched=fetched.withColumn("round", F.lit(round_no)),
         blocked=blocked_seen,
         deferred=deferred,
-        fetch_log=fetch_log,
-        documents=documents,
+        fetch_log=projections["fetch_log"],
+        documents=projections["documents"],
         seen_delta=seen_delta,
-        next_frontier=next_frontier,
+        _next_frontier_factory=_next_frontier,
         metrics={"round": round_no},
         _cached=[gated, pre, slotted],
     )
