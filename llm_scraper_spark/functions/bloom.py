@@ -65,9 +65,20 @@ class BloomFilter:
 
     def add(self, hashes: np.ndarray) -> None:
         idx = self._indices(np.asarray(hashes, dtype=np.uint64)).ravel()
-        np.bitwise_or.at(
-            self.words, (idx // 64).astype(np.int64), np.uint64(1) << (idx % 64)
-        )
+        # Boolean scatter + packbits instead of bitwise_or.at: .at is an
+        # unbuffered read-modify-write ufunc (~10 M probes/s); a plain
+        # fancy store into a bool bitmap + one packbits pass is ~10x
+        # faster and bit-identical (duplicates just store True twice).
+        # Gated on bitmap size: the bool temp costs m_bits BYTES, so
+        # past 128 MB (cap ~10^9 bits) fall back to the in-place path.
+        if self.m_bits <= (1 << 30) and idx.size >= 4096:
+            bits = np.zeros(self.m_bits, dtype=bool)
+            bits[idx.astype(np.int64)] = True
+            self.words |= np.packbits(bits, bitorder="little").view(np.uint64)
+        else:
+            np.bitwise_or.at(
+                self.words, (idx // 64).astype(np.int64), np.uint64(1) << (idx % 64)
+            )
 
     def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
