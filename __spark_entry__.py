@@ -20,6 +20,7 @@ from llm_scraper_spark.operators import (
     htmldump,
     htmltables,
     multimodal,
+    packing,
     reference_parity,
     relational,
     scrub,
@@ -50,6 +51,7 @@ _MODULES = (
     textstats,
     curation,
     scrub,
+    packing,
     graph,
     multimodal,
     htmltables,

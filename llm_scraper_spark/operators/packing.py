@@ -1,0 +1,249 @@
+"""Corpus → training-batch operators: segment-level exact dedup
+(RefinedWeb / MassiveText line-dedup analog) and GPT-style
+concatenate-and-chunk sequence packing.
+
+Reference tie-in: the reference dedups whole fields row-locally
+(server/scripts/util/content_cleaner.py) and ships scraped text
+downstream as one JSON blob per page — it has no corpus-wide segment
+dedup and no batch packing because a single-node scraper never sees
+the corpus at once.  These are the two operators a training-data
+pipeline needs between that scraper's output and a trainer's input,
+expressed Spark-first.
+
+Scale design (the whole point of both plans):
+
+* ``para_dedup`` — the dedup DECISION runs entirely on skinny
+  ``(doc_id, pos, fp)`` triples: segments are fingerprinted row-locally
+  (md5 of the segment words), the first occurrence per fingerprint is a
+  partial-aggregatable ``min(struct(doc_id, pos))`` (map-side combine,
+  16-byte keys — document text NEVER enters the shuffle), kept
+  positions fold back to one skinny array per doc, and the cleaned text
+  is rebuilt ROW-LOCALLY by re-slicing the original word array in the
+  doc row.  Total motion: two hash-aggregations of ~40-byte rows plus
+  one doc_id equi-join — at 100 TB the shuffled bytes are ~1-2% of
+  corpus size.  A row_number-over-fingerprint formulation (the naive
+  translation) would instead sort full text by fingerprint and put
+  every occurrence of a hot boilerplate segment in ONE task; min-struct
+  has no such hot-key failure mode.
+
+* ``pack_sequences`` — assigns every document its byte range in the
+  virtual concatenation of the corpus (deterministic doc_id order) and
+  derives the training-sequence bins it spans (context window CTX).
+  The global prefix-sum is computed as a classic two-phase distributed
+  scan: contiguous doc_id ranges → per-bucket window cumsum (each
+  bucket is an independent partition-local sort), bucket totals (B tiny
+  rows) → running offsets, broadcast join back.  No global
+  single-partition window — the naive ``Window.orderBy(doc_id)`` plan
+  funnels 100 TB through one task; this one never materializes more
+  than a bucket per task and B scales with the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: words per dedup segment.  Production splits on real paragraph/line
+#: boundaries; the synthetic corpus is single-line ~40-word docs, so a
+#: fixed word window stands in (4 words ≈ the collision-bearing
+#: segment size at this corpus' vocabulary).  The rule is disclosed
+#: and identical in the DuckDB twin.
+SEG_W = 4
+#: tokens per packed training sequence (context window).
+CTX = 128
+#: prefix-sum buckets — sized to the cluster, not the data (each
+#: bucket is one partition-local cumsum; totals frame stays B rows).
+N_BUCKETS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws array<string>, n_segs) — row-local; single-space
+    split in BOTH engines so segment contents are bit-identical."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n_segs", F.expr(f"CAST((size(ws) + {SEG_W - 1}) DIV {SEG_W} AS INT)"))
+
+
+def _seg_text(ws, pos):
+    """Segment ``pos`` of word array ``ws`` — the one shared
+    definition used to fingerprint AND to rebuild kept text."""
+    return F.array_join(F.slice(ws, pos * SEG_W + 1, SEG_W), " ")
+
+
+def para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact segment dedup, first occurrence wins
+    (ordered by (doc_id, segment position)).  Emits per doc: segment
+    count, surviving-segment count, and the cleaned text rebuilt from
+    the surviving segments in order."""
+    ws = _with_words(_docs(spark, sf_dir))
+    # row-local explode of (doc_id, pos, fp) ONLY — text stays home
+    fps = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segs") - 1),
+                lambda i: F.md5(_seg_text(F.col("ws"), i)),
+            )
+        ).alias("pos", "fp"),
+    )
+    # first occurrence per fingerprint = the kept set.  min(struct) is
+    # partial-aggregatable: a hot boilerplate fp combines map-side to
+    # one candidate per task before the shuffle.
+    winners = fps.groupBy("fp").agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    kept_pos = (
+        winners.select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("kept_pos"))
+    )
+    kp = F.coalesce("kept_pos", F.array().cast("array<int>"))
+    return (
+        ws.join(kept_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("long").alias("n_paras"),
+            F.coalesce(F.size("kept_pos"), F.lit(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(kp, lambda p: _seg_text(F.col("ws"), p)), " "
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _max_doc_id(spark: SparkSession, sf_dir: str) -> int:
+    """Upper doc_id bound from parquet footer column statistics — no
+    scan (a lakehouse manifest serves the same number); Spark-agg
+    fallback for stat-less files."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+        col = next(
+            i
+            for i in range(md.schema.to_arrow_schema().num_fields)
+            if md.schema.column(i).name == "doc_id"
+        )
+        return max(
+            md.row_group(g).column(col).statistics.max
+            for g in range(md.num_row_groups)
+        )
+    except Exception:
+        return _docs(spark, sf_dir).agg(F.max("doc_id")).first()[0]
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing: documents are laid end-to-end in
+    doc_id order (whitespace token count) and cut into CTX-token
+    training sequences; each doc reports the token range and the
+    first/last sequence bin it lands in.  The global running offset is
+    a two-phase distributed prefix-sum (see module docstring) — the
+    per-doc result is IDENTICAL to a single global window, which is
+    exactly what the DuckDB twin runs."""
+    toks = _with_words(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("ws").cast("long").alias("n_tokens")
+    )
+    hi = int(_max_doc_id(spark, sf_dir)) + 1
+    b = F.least(
+        F.lit(N_BUCKETS - 1),
+        (F.col("doc_id") * N_BUCKETS / F.lit(hi)).cast("int"),
+    ).alias("bucket")
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    part = toks.select("doc_id", "n_tokens", b).withColumn(
+        "cum_in_bucket", F.sum("n_tokens").over(in_bucket)
+    )
+    # B tiny rows: running offset of each bucket = sum of all earlier
+    # buckets' totals (single-partition window over B rows, not data)
+    run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("boff", F.coalesce(F.sum("btot").over(run), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    start = F.col("boff") + F.col("cum_in_bucket") - F.col("n_tokens")
+    end = F.col("boff") + F.col("cum_in_bucket") - 1
+    return (
+        part.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("tok_start"),
+            F.floor(start / CTX).cast("long").alias("start_bin"),
+            F.floor(end / CTX).cast("long").alias("end_bin"),
+            (start % CTX).cast("long").alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WS_SQL = f"""
+  ws AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           (len(string_split(text, ' ')) + {SEG_W - 1}) // {SEG_W} AS n_segs
+    FROM documents
+  )
+"""
+
+ORACLE_SQL = {
+    "para_dedup": f"""
+        WITH {_WS_SQL},
+        segs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, n_segs),
+                   i -> struct_pack(pos := i,
+                        seg := array_to_string(ws[i*{SEG_W}+1 : i*{SEG_W}+{SEG_W}],
+                                               ' '))),
+                        recursive := true)
+          FROM ws
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY md5(seg)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM segs
+        ),
+        kp AS (
+          SELECT doc_id, list(pos ORDER BY pos) AS kept_pos
+          FROM marked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(w.n_segs AS BIGINT) AS n_paras,
+               CAST(coalesce(len(kp.kept_pos), 0) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(list_transform(kp.kept_pos,
+                 p -> array_to_string(w.ws[p*{SEG_W}+1 : p*{SEG_W}+{SEG_W}], ' ')),
+                 ' '), '') AS clean_text
+        FROM ws w LEFT JOIN kp ON kp.doc_id = w.doc_id
+        ORDER BY w.doc_id
+    """,
+    # the twin runs the NAIVE global window — the two-phase scan must
+    # equal it doc-for-doc, which is the property under test
+    "pack_sequences": f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        cums AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS tok_start,
+               CAST((cum - n_tokens) // {CTX} AS BIGINT) AS start_bin,
+               CAST((cum - 1) // {CTX} AS BIGINT) AS end_bin,
+               CAST((cum - n_tokens) % {CTX} AS BIGINT) AS bin_offset
+        FROM cums ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "para_dedup": para_dedup,
+    "pack_sequences": pack_sequences,
+}
