@@ -57,6 +57,8 @@ NEAR_DUP_COS = 0.95
 #: work at O(cap²) even on a degenerate (all-zeros / boilerplate
 #: embedding) shard.
 MAX_BUCKET = 64
+#: SemDeDup within-cluster near-dup threshold (cosine).
+SEMDEDUP_COS = 0.95
 
 
 def _plane_signs() -> list[list[int]]:
@@ -371,18 +373,12 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_serve(vecs, cents)
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: corpus ∪ deterministic
-    copies (exact for vec_id%13==0, tiny-perturbed for vec_id%9==0),
-    blocked by banded multi-table hyperplane LSH (N_BANDS × N_PLANES
-    sign bits, capped buckets), exact cosine ≥ NEAR_DUP_COS on the
-    distinct candidate pairs.  A true near-dup (cosine → 1) agrees on
-    essentially every plane, so it collides in every uncapped band; the
-    all-pairs cosine join is never materialized, and no single bucket
-    can exceed MAX_BUCKET members — the blocked replacement for the
-    reference's row-local fuzzy compare (content_cleaner.py:8-24) at
-    corpus scale."""
-    vecs = _quantized(spark, sf_dir)
+def _augmented_vecs(vecs: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministic near-dup copies — exact copies for
+    vec_id%13==0 (+100000), one-component-perturbed for vec_id%9==0
+    (+200000).  The synthetic corpus has no natural near-dups, so both
+    embedding-dedup operators plant these to have real work to do; the
+    recipe is mirrored verbatim by the shared ``_AUG_SQL`` twin CTE."""
     exact = vecs.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "label", "qe", "norm2"
     )
@@ -400,13 +396,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("qe", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
         )
     )
+    return vecs.unionByName(exact).unionByName(perturbed)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus ∪ deterministic
+    copies (exact for vec_id%13==0, tiny-perturbed for vec_id%9==0),
+    blocked by banded multi-table hyperplane LSH (N_BANDS × N_PLANES
+    sign bits, capped buckets), exact cosine ≥ NEAR_DUP_COS on the
+    distinct candidate pairs.  A true near-dup (cosine → 1) agrees on
+    essentially every plane, so it collides in every uncapped band; the
+    all-pairs cosine join is never materialized, and no single bucket
+    can exceed MAX_BUCKET members — the blocked replacement for the
+    reference's row-local fuzzy compare (content_cleaner.py:8-24) at
+    corpus scale."""
+    vecs = _quantized(spark, sf_dir)
     # persisted: read by the band-row builder and by both pair-side
     # join-backs below (one short row per vector)
-    aug = (
-        vecs.unionByName(exact)
-        .unionByName(perturbed)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    aug = _augmented_vecs(vecs).persist(StorageLevel.MEMORY_AND_DISK)
     # key width from the BASE corpus count (the twin's kbits CTE reads
     # count(embeddings) too): the dup-augmented set is a constant
     # ≤1.2× inflation, which never moves the clamped bit width
@@ -438,6 +445,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster pairwise cosine.  The exact
+    integer Lloyd's trainer (`ivf_train_kmeans`, trained on the base
+    corpus — production trains on a sample) produces the codebook; the
+    dup-augmented corpus (`_augmented_vecs`) is assigned to cells by
+    the same broadcast argmax-cosine as IVF serving; within each cell,
+    a vector is DROPPED when any lower-id cell-mate has cosine ≥
+    SEMDEDUP_COS (the paper keeps one representative per semantic
+    group; lowest-id is the deterministic choice, disclosed).
+
+    Scale shape: training is the k-means plan (O(corpus×k) broadcast
+    assigns); the dedup join is a cell equi-join — per-cell cost
+    O(c²·DIM) in-row integer dots, where production picks k ∝ n so the
+    mean cell size c stays constant (the paper uses k = 11k cells for
+    LAION-440M).  k is pinned to N_CELLS here so the unrolled DuckDB
+    twin stays fixed-size; the cell key is the only shuffle key.
+    Replaces nothing in the reference (row-local fuzzy compare,
+    content_cleaner.py:8-24, can't see across documents) — this is the
+    corpus-scale semantic analog."""
+    vecs = _quantized(spark, sf_dir)
+    cents, _ = ivf_train_kmeans(spark, vecs)
+    aug = _augmented_vecs(vecs)
+    # (vec_id, cell, qe, norm2) — read by both sides of the pair join
+    # and the final kept projection
+    m = (
+        aug.join(_assign_to(aug, cents), "vec_id")
+        .select("vec_id", "cell", "qe", "norm2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x.qe"), F.col("y.qe"), lambda a_, b_: a_ * b_),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("x.norm2").cast("double")) * F.sqrt(F.col("y.norm2").cast("double"))
+    )
+    dropped = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_COS)
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("long").alias("kept"),
+        )
+        .orderBy("vec_id")
     )
 
 
@@ -761,6 +828,26 @@ def centroid_stats(emb_df: DataFrame) -> DataFrame:
     )
 
 
+#: twin of `_augmented_vecs` — shared by the embedding-cosine and
+#: SemDeDup oracles so the planted-dup recipe can never drift
+_AUG_SQL = """
+        pert AS (
+          SELECT vec_id + 200000 AS vec_id, label,
+                 list_concat([qe[1] + 1], qe[2:]) AS qe
+          FROM qn WHERE vec_id % 9 = 0
+        ),
+        aug AS (
+          SELECT vec_id, label, qe, norm2 FROM qn
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, label, qe, norm2
+          FROM qn WHERE vec_id % 13 = 0
+          UNION ALL
+          SELECT vec_id, label, qe,
+                 CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2
+          FROM pert
+        )
+"""
+
 _KMEANS_SQL = f"""
         WITH {_QUANT_SQL},
         cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
@@ -853,21 +940,7 @@ ORACLE_SQL = {
     ),
     "dedup_embedding_cosine": f"""
         WITH {_QUANT_SQL},
-        pert AS (
-          SELECT vec_id + 200000 AS vec_id, label,
-                 list_concat([qe[1] + 1], qe[2:]) AS qe
-          FROM qn WHERE vec_id % 9 = 0
-        ),
-        aug AS (
-          SELECT vec_id, label, qe, norm2 FROM qn
-          UNION ALL
-          SELECT vec_id + 100000 AS vec_id, label, qe, norm2
-          FROM qn WHERE vec_id % 13 = 0
-          UNION ALL
-          SELECT vec_id, label, qe,
-                 CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2
-          FROM pert
-        ),
+        {_AUG_SQL},
         {_banded_sql("aug")},
         cand AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -913,6 +986,48 @@ ORACLE_SQL["ann_recall_eval"] = f"""
     ORDER BY query_id
 """
 
+ORACLE_SQL["semdedup"] = f"""
+    WITH {_QUANT_SQL},
+    cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, {N_CELLS})),
+    c0 AS (
+      SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cell,
+             qe AS c_qe, norm2 AS c_norm2
+      FROM qn WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+    ),{",".join(_kmeans_iter_sql(i) for i in range(1, KMEANS_ITERS + 1))},
+    {_AUG_SQL},
+    scored AS (
+      SELECT v.vec_id, c.cell,
+             CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> v.qe[i] * c.c_qe[i])) AS DOUBLE)
+             / (sqrt(CAST(c.c_norm2 AS DOUBLE)) * sqrt(CAST(v.norm2 AS DOUBLE))) AS c_cos
+      FROM aug v CROSS JOIN c{KMEANS_ITERS} c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY c_cos DESC, cell) AS crank
+        FROM scored
+      ) WHERE crank = 1
+    ),
+    mem AS (
+      SELECT a.vec_id, a.cell, v.qe, v.norm2
+      FROM assign a JOIN aug v USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> x.qe[i] * y.qe[i])) AS DOUBLE)
+            / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE)))
+            >= {SEMDEDUP_COS}
+    )
+    SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    ORDER BY m.vec_id
+"""
+
 ORACLE_SQL["embedding_label_centroids"] = f"""
     WITH ex AS (
       SELECT label,
@@ -938,4 +1053,5 @@ QUERIES = {
     "ann_ivf_train_cells": ann_ivf_train_cells,
     "ann_recall_eval": ann_recall_eval,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semdedup": semdedup,
 }

@@ -1,0 +1,146 @@
+"""Independent (pure-Python) oracles for the packing module and the
+planted-dup recall contract of SemDeDup — confidence beyond the DuckDB
+twins, which share SQL-engine semantics with Spark."""
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from llm_scraper_spark.operators import packing, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_rows():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _segments(text):
+    ws = text.split(" ")
+    w = packing.SEG_W
+    return [" ".join(ws[i * w : i * w + w]) for i in range(math.ceil(len(ws) / w))]
+
+
+def test_para_dedup_matches_pure_python(spark):
+    expected = {}
+    seen = set()
+    for doc_id, text in _docs_rows():  # doc_id order = first-wins order
+        segs = _segments(text)
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expected[doc_id] = (len(segs), len(kept), " ".join(kept))
+    got = packing.para_dedup(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e = expected[r["doc_id"]]
+        assert (r["n_paras"], r["n_kept"], r["clean_text"]) == e
+    # the corpus must contain real cross-doc repeats for this test to
+    # exercise anything
+    assert any(r["n_kept"] < r["n_paras"] for r in got)
+
+
+def test_pack_sequences_matches_pure_python(spark):
+    cum = 0
+    expected = {}
+    for doc_id, text in _docs_rows():
+        tok = len(text.split(" "))
+        start = cum
+        cum += tok
+        expected[doc_id] = (
+            tok,
+            start,
+            start // packing.CTX,
+            (cum - 1) // packing.CTX,
+            start % packing.CTX,
+        )
+    got = packing.pack_sequences(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r["n_tokens"],
+            r["tok_start"],
+            r["start_bin"],
+            r["end_bin"],
+            r["bin_offset"],
+        ) == expected[r["doc_id"]]
+
+
+def test_pack_two_phase_scan_equals_global_on_skewed_ids(spark, tmp_path):
+    """Bucketing by contiguous doc_id ranges must reproduce the global
+    prefix-sum even when ids are sparse and skewed into few buckets."""
+    ids = [0, 1, 2, 3, 1000, 1001, 999999, 1000000]
+    rows = [(i, "w " * (i % 7 + 1)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in packing.pack_sequences(spark, str(tmp_path)).collect()
+    }
+    cum = 0
+    for i in ids:
+        tok = len(("w " * (i % 7 + 1)).split(" "))
+        assert got[i] == cum
+        cum += tok
+
+
+def test_semdedup_drops_planted_copies(spark):
+    rows = similarity.semdedup(spark, SF).collect()
+    base = [r for r in rows if r["vec_id"] < 100000]
+    exact = [r for r in rows if 100000 <= r["vec_id"] < 200000]
+    pert = [r for r in rows if r["vec_id"] >= 200000]
+    assert exact and pert
+    # an exact copy shares its original's cell and has cosine 1 with a
+    # strictly lower id — ALL must be dropped
+    assert all(r["kept"] == 0 for r in exact)
+    # the one-component perturbation leaves cosine ≈ 1; a copy only
+    # survives if the perturbation flips its cell assignment (rare)
+    assert sum(r["kept"] for r in pert) <= len(pert) // 5
+    # dedup must not nuke the base corpus
+    kept_base = sum(r["kept"] for r in base)
+    assert kept_base >= len(base) * 0.5
+
+
+def test_semdedup_drop_has_lower_id_witness_in_cell(spark):
+    """Every dropped vector has a lower-id cell-mate with cosine ≥
+    threshold — checked against the raw vectors, independent of the
+    join that produced the drop."""
+    rows = similarity.semdedup(spark, SF).collect()
+    cell = {r["vec_id"]: r["cell"] for r in rows}
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = {
+        v: [math.floor(x * 1000) for x in e]
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    vecs = dict(q)
+    for v, e in q.items():
+        if v % 13 == 0:
+            vecs[v + 100000] = e
+        if v % 9 == 0:
+            vecs[v + 200000] = [e[0] + 1] + e[1:]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    dropped = [r["vec_id"] for r in rows if r["kept"] == 0]
+    assert dropped
+    for v in dropped:
+        mates = [u for u in vecs if u < v and cell[u] == cell[v]]
+        assert any(
+            cos(vecs[u], vecs[v]) >= similarity.SEMDEDUP_COS for u in mates
+        ), f"no witness for dropped vec {v}"
+
+
+@pytest.mark.parametrize("key", ["para_dedup", "pack_sequences", "semdedup"])
+def test_new_keys_registered(key):
+    import __spark_entry__ as entry
+
+    assert key in entry.queries()
+    assert key in entry.oracle_sql()
