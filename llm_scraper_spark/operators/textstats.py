@@ -174,8 +174,90 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
 
 def winnow_postings(docs: DataFrame) -> DataFrame:
     """The (doc_id, fp) posting table — what a fingerprint-overlap
-    dedup join consumes.  ~|text|/w rows per doc."""
+    dedup join consumes.  ~|text|/w rows per doc.
+
+    CAUTION: consumers must put a materialization barrier (persist /
+    localCheckpoint) on the ARRAY-form frame before wide reuse —
+    explode() inlines the whole winnowing expression into the Generate
+    node, where the window-minimum lambdas re-evaluate the gram
+    transform per element (the O(n²) interpreted-eval trap from the
+    winnow_fps docstring; measured 109 s vs 3 s at sf0.01).
+    `fp_overlap_pairs` below shows the pattern."""
     return winnow_fps(docs).select("doc_id", F.explode("fps").alias("fp"))
+
+
+#: fingerprint-overlap pair parameters: a posting shared by more docs
+#: than this is corpus boilerplate, not copy evidence — dropped before
+#: the pair join (the MAX_BUCKET hot-key guard from the minhash path:
+#: an uncapped hot print makes the self-join quadratic in its posting
+#: count).  OVERLAP_MIN shared prints ≈ a ≥(w+k-1)-word shared run
+#: plus one more independent collision.
+FP_MAX_POSTINGS = 64
+OVERLAP_MIN = 2
+OVERLAP_SCALE = 1_000_000
+
+
+def fp_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap near-dup candidates (the
+    substring-level dedup of Lee et al. '22 approximated by SWA
+    winnowing: any shared run of ≥ FP_W + FP_K − 1 words guarantees a
+    shared selected print).  Pairs of docs sharing ≥ OVERLAP_MIN
+    prints, with an integer-exact Jaccard-style overlap score.
+
+    Scale shape: the posting table is ~|words|/FP_W rows of
+    (doc_id, 8-byte print) — text never shuffles; hot prints are
+    capped by a window count ON the join key (no extra shuffle — the
+    count and the self-join share the fp hash partitioning); pair
+    aggregation is a partial+final hash agg on (doc_a, doc_b).  The
+    overlap score is fixed-point integer division so both engines
+    agree bit-exactly."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the barrier must sit on the ARRAY form, BEFORE explode: a
+    # Generate over the raw winnowing projection re-evaluates the gram
+    # transform inside every window-min lambda (109 s vs 3 s at
+    # sf0.01 — see winnow_postings caution); exploding from the
+    # materialized column is linear.  The cached frame is one short
+    # row per doc.
+    fps = (
+        winnow_fps(_docs(spark, sf_dir))
+        .withColumn("n_fps", F.size("fps"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    posts = fps.select("doc_id", "n_fps", F.explode("fps").alias("fp"))
+    capped = (
+        posts.withColumn("nd", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("nd") <= FP_MAX_POSTINGS)
+        .drop("nd")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_fps").alias("n_a"),
+            F.col("b.n_fps").alias("n_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.filter(F.col("n_shared") >= OVERLAP_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(
+                f"CAST(n_shared * {OVERLAP_SCALE} DIV (n_a + n_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("overlap_fp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,7 +484,49 @@ def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: twin of `winnow_fps` — the g (gram hash) and w (selected prints)
+#: CTEs, shared by the doc_fingerprint and fp_overlap_pairs oracles
+_WINNOW_CTES = f"""g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {FP_K}
+                      THEN list_transform(range(1, len(ws) - {FP_K - 2}),
+                           i -> CAST('0x' || substr(md5({" || ' ' || ".join(f"ws[i+{d}]" for d in range(FP_K))}), 1, 15) AS BIGINT))
+                      ELSE [CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)] END AS grams
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        ),
+        w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(CAST(len(grams) AS BIGINT) - {FP_W - 1}, 1) + 1),
+                     j -> least({", ".join(f"grams[j+{i}]" for i in range(FP_W))}))) AS fps
+          FROM g
+        )"""
+
 ORACLE_SQL = {
+    "fp_overlap_pairs": f"""
+        WITH {_WINNOW_CTES},
+        posts AS (
+          SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM w
+        ),
+        capped AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY fp) AS nd FROM posts
+          ) WHERE nd <= {FP_MAX_POSTINGS}
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_fps AS n_a, b.n_fps AS n_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM capped a JOIN capped b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, n_shared,
+               CAST(n_shared * {OVERLAP_SCALE} // (n_a + n_b - n_shared)
+                    AS BIGINT) AS overlap_fp
+        FROM pairs WHERE n_shared >= {OVERLAP_MIN}
+        ORDER BY doc_a, doc_b
+    """,
     "text_quality": f"""
         WITH t AS (
           SELECT doc_id,
@@ -441,21 +565,7 @@ ORACLE_SQL = {
         FROM documents ORDER BY doc_id
     """,
     "doc_fingerprint": f"""
-        WITH g AS (
-          SELECT doc_id,
-                 CASE WHEN len(ws) >= {FP_K}
-                      THEN list_transform(range(1, len(ws) - {FP_K - 2}),
-                           i -> CAST('0x' || substr(md5({" || ' ' || ".join(f"ws[i+{d}]" for d in range(FP_K))}), 1, 15) AS BIGINT))
-                      ELSE [CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)] END AS grams
-          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
-        ),
-        w AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                     range(1, greatest(CAST(len(grams) AS BIGINT) - {FP_W - 1}, 1) + 1),
-                     j -> least({", ".join(f"grams[j+{i}]" for i in range(FP_W))}))) AS fps
-          FROM g
-        )
+        WITH {_WINNOW_CTES}
         SELECT doc_id,
                CAST(len(fps) AS BIGINT) AS n_fps,
                CAST(list_min(fps) AS BIGINT) AS fp_min,
@@ -559,6 +669,7 @@ QUERIES = {
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
+    "fp_overlap_pairs": fp_overlap_pairs,
     "corpus_lang_summary": corpus_lang_summary,
     "tfidf_top_terms": tfidf_top_terms,
 }
