@@ -292,6 +292,51 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-point scale for the temperature weights.
+LANG_W_SCALE = 1_000_000
+
+
+def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mix sampling weights (the mT5 /
+    multilingual-pretraining rebalancer: p_l ∝ n_l^α flattens the
+    head languages so the tail survives).  α = 0.5, i.e. sqrt — chosen
+    because IEEE sqrt is correctly rounded in both engines, so the
+    fixed-point weight floor(sqrt(n_docs)·SCALE) is bit-exact
+    cross-engine where a pow(n, 0.3) would drift in the last ulp.
+
+    Scale shape: one partial+final agg to |langs| rows; the weight
+    total joins back as a broadcast 1-row aggregate (same pattern as
+    corpus_source_mix) — nothing here grows with corpus size."""
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(F.split("text", " ")).cast("long").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_fp",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * LANG_W_SCALE)
+            .cast("long"),
+        )
+    )
+    total = per_lang.agg(F.sum("weight_fp").cast("long").alias("wtot"))
+    return (
+        per_lang.join(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "weight_fp",
+            F.expr(f"CAST(weight_fp * {LANG_W_SCALE} DIV wtot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass a real pipeline runs end-to-end:
     quality gate (text_quality semantics) ∧ language gate (lang_id
@@ -603,8 +648,23 @@ ORACLE_SQL["dsir_importance_score"] = f"""
     FROM scored ORDER BY doc_id
 """
 
+ORACLE_SQL["lang_sampling_weights"] = f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {LANG_W_SCALE})
+                  AS BIGINT) AS weight_fp
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS wtot FROM per_lang)
+    SELECT lang, n_docs, n_tokens, weight_fp,
+           CAST(weight_fp * {LANG_W_SCALE} // wtot AS BIGINT) AS share_ppm
+    FROM per_lang, tot ORDER BY lang
+"""
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "lang_sampling_weights": lang_sampling_weights,
     "repetition_ratio": repetition_ratio,
     "stratified_sample": stratified_sample,
     "corpus_source_mix": corpus_source_mix,

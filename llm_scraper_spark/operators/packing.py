@@ -54,6 +54,10 @@ CTX = 128
 #: prefix-sum buckets — sized to the cluster, not the data (each
 #: bucket is one partition-local cumsum; totals frame stays B rows).
 N_BUCKETS = 32
+#: RAG-ingestion chunking: window width and overlap in words.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,6 +186,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval ingestion: CHUNK_TOKENS-word
+    windows at stride CHUNK_TOKENS − CHUNK_OVERLAP, last window
+    truncated, short docs emit one whole-doc chunk.  Entirely row-local
+    (transform + posexplode — zero shuffle; output order is the input
+    order, so downstream embedding jobs stream it partition-parallel
+    with no exchange)."""
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).withColumn(
+        "n_chunks",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"CAST((size(ws) - {CHUNK_OVERLAP} + {_STRIDE - 1})"
+                f" DIV {_STRIDE} AS INT)"
+            ),
+        ),
+    )
+    chunk = lambda i: F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_TOKENS)  # noqa: E731
+    return ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.struct(
+                    F.size(chunk(i)).cast("long").alias("n_tokens"),
+                    F.array_join(chunk(i), " ").alias("chunk_text"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 _WS_SQL = f"""
   ws AS (
     SELECT doc_id, string_split(text, ' ') AS ws,
@@ -241,9 +283,31 @@ ORACLE_SQL = {
                CAST((cum - n_tokens) % {CTX} AS BIGINT) AS bin_offset
         FROM cums ORDER BY doc_id
     """,
+    "chunk_documents": f"""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 greatest(1, (len(string_split(text, ' ')) - {CHUNK_OVERLAP}
+                              + {_STRIDE - 1}) // {_STRIDE}) AS n_chunks
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, n_chunks),
+                   i -> struct_pack(
+                          chunk_id := i,
+                          seg := ws[i*{_STRIDE}+1 : i*{_STRIDE}+{CHUNK_TOKENS}])),
+                        recursive := true)
+          FROM ws
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(seg) AS BIGINT) AS n_tokens,
+               array_to_string(seg, ' ') AS chunk_text
+        FROM chunks ORDER BY doc_id, chunk_id
+    """,
 }
 
 QUERIES = {
     "para_dedup": para_dedup,
     "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
 }

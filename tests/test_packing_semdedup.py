@@ -138,7 +138,61 @@ def test_semdedup_drop_has_lower_id_witness_in_cell(spark):
         ), f"no witness for dropped vec {v}"
 
 
-@pytest.mark.parametrize("key", ["para_dedup", "pack_sequences", "semdedup"])
+def test_chunk_documents_covers_every_token(spark, tmp_path):
+    """Window/stride invariants: chunks tile the doc with the declared
+    overlap, cover every token, and short docs emit one whole chunk."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),
+        (2, "one two three"),  # shorter than a window
+        (3, " ".join(f"u{i}" for i in range(packing.CHUNK_TOKENS))),  # exact fit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = packing.chunk_documents(spark, str(tmp_path)).collect()
+    stride = packing.CHUNK_TOKENS - packing.CHUNK_OVERLAP
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        rebuilt = []
+        for k, r in enumerate(chunks):
+            toks = r["chunk_text"].split(" ")
+            assert r["n_tokens"] == len(toks)
+            assert toks == ws[k * stride : k * stride + packing.CHUNK_TOKENS]
+            rebuilt.extend(toks if k == 0 else toks[packing.CHUNK_OVERLAP :])
+        if len(chunks) == 1:
+            assert rebuilt == ws
+        else:
+            # full coverage: the last window reaches the final token
+            assert chunks[-1]["chunk_text"].split(" ")[-1] == ws[-1]
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+
+
+def test_lang_sampling_weights_flatten_the_head(spark):
+    import math
+
+    rows = {r["lang"]: r for r in
+            __import__("llm_scraper_spark.operators.curation",
+                       fromlist=["curation"]).lang_sampling_weights(spark, SF).collect()}
+    assert len(rows) >= 2
+    total_w = sum(r["weight_fp"] for r in rows.values())
+    for lang, r in rows.items():
+        assert r["weight_fp"] == math.floor(math.sqrt(r["n_docs"]) * 1_000_000)
+        assert r["share_ppm"] == r["weight_fp"] * 1_000_000 // total_w
+    # temperature flattening: weight share of the head language must be
+    # strictly below its doc share
+    head = max(rows.values(), key=lambda r: r["n_docs"])
+    n_total = sum(r["n_docs"] for r in rows.values())
+    assert head["share_ppm"] / 1e6 < head["n_docs"] / n_total
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["para_dedup", "pack_sequences", "semdedup", "chunk_documents",
+     "lang_sampling_weights"],
+)
 def test_new_keys_registered(key):
     import __spark_entry__ as entry
 

@@ -42,6 +42,7 @@ BNLJ_JUSTIFIED = {
     "ann_ivf_trained_topk": "N_CELLS(=8)-row trained codebook",
     "ann_ivf_train_cells": "N_CELLS(=8)-row codebook per Lloyd's iteration",
     "semdedup": "N_CELLS(=8)-row codebook broadcast in the assign step",
+    "lang_sampling_weights": "1-row weight-total aggregate broadcast",
     "ann_recall_eval": "composes sim_bruteforce_topk + ann_ivf_topk",
     "corpus_source_mix": "1-row corpus-total aggregate",
     "corpus_len_histogram": "1-row corpus-total aggregate",
