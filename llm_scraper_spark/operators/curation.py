@@ -295,6 +295,60 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed-point scale for the temperature weights.
 LANG_W_SCALE = 1_000_000
 
+#: hashed-feature quality classifier: bucket count and the weight
+#: range.  Weights are md5-derived integers in [-8, 8] — a stand-in
+#: for trained fastText/logreg coefficients (the container has no
+#: trainer), but the SERVING plan is the real one: per-token feature
+#: hash → weight lookup folded into one JVM expression, score =
+#: integer sum, all row-local.
+QCLF_BUCKETS = 1024
+QCLF_WRANGE = 17  # weights in [-8, 8]
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3/LLaMA curation
+    pillar: a linear model over hashed unigram features scores each
+    doc, keep if score ≥ 0).  Serving shape at 100 TB: the model IS an
+    expression — no join, no broadcast, no Python; two md5s per token
+    inside whole-stage codegen, one integer sum per doc.  A trained
+    coefficient table would instead broadcast-join on the bucket id
+    (fixed QCLF_BUCKETS rows) — same plan either way."""
+    docs = _docs(spark, sf_dir)
+    ws = F.col("ws")
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.md5(w).substr(F.lit(1), F.lit(15)), 16, 10).cast("long")
+        % QCLF_BUCKETS
+    )
+    weight = lambda b: (  # noqa: E731
+        F.conv(
+            F.md5(F.concat(F.lit("qw:"), b.cast("string"))).substr(
+                F.lit(1), F.lit(15)
+            ),
+            16,
+            10,
+        ).cast("long")
+        % QCLF_WRANGE
+        - (QCLF_WRANGE - 1) // 2
+    )
+    score = F.aggregate(
+        F.transform(ws, lambda w: weight(bucket(w))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "clf_keep",
+            F.when(F.col("score") >= 0, 1).otherwise(0).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language-mix sampling weights (the mT5 /
@@ -662,9 +716,27 @@ ORACLE_SQL["lang_sampling_weights"] = f"""
     FROM per_lang, tot ORDER BY lang
 """
 
+ORACLE_SQL["quality_classifier_score"] = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(ws,
+               w -> (CAST('0x' || substr(md5('qw:' ||
+                      CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                           % {QCLF_BUCKETS} AS VARCHAR)), 1, 15) AS BIGINT)
+                     % {QCLF_WRANGE}) - {(QCLF_WRANGE - 1) // 2}))
+                  AS BIGINT) AS score
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT doc_id, n_tokens, score,
+           CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS clf_keep
+    FROM scored ORDER BY doc_id
+"""
+
 QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "lang_sampling_weights": lang_sampling_weights,
+    "quality_classifier_score": quality_classifier_score,
     "repetition_ratio": repetition_ratio,
     "stratified_sample": stratified_sample,
     "corpus_source_mix": corpus_source_mix,

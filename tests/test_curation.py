@@ -139,3 +139,38 @@ def test_dsir_scores_separate_target_sources(spark):
     assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t) + 10, (
         "target-source docs should score clearly higher than the rest"
     )
+
+
+def test_quality_classifier_matches_pure_python(spark):
+    """Hashed-feature linear scorer vs an independent hashlib
+    reimplementation — weights, buckets, score, and keep flag."""
+    import hashlib
+
+    import duckdb
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def score(text):
+        tot = 0
+        for w in text.split(" "):
+            b = h60(w) % curation.QCLF_BUCKETS
+            tot += h60(f"qw:{b}") % curation.QCLF_WRANGE - (
+                curation.QCLF_WRANGE - 1
+            ) // 2
+        return tot
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = curation.QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        exp = score(texts[r["doc_id"]])
+        assert r["score"] == exp
+        assert r["clf_keep"] == (1 if exp >= 0 else 0)
+    # the scorer must actually split the corpus, not rubber-stamp it
+    kept = sum(r["clf_keep"] for r in rows)
+    assert 0 < kept < len(rows)
