@@ -27,6 +27,7 @@ from llm_scraper_spark.operators import (
     similarity,
     spans,
     textstats,
+    tokenizer,
     tpch_extra,
     tpch_extra2,
 )
@@ -49,6 +50,7 @@ _MODULES = (
     dedup,
     similarity,
     textstats,
+    tokenizer,
     curation,
     scrub,
     packing,
