@@ -224,6 +224,57 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+#: negatives per anchor for contrastive batch assembly.
+NEG_K = 4
+#: MINSTD Lehmer constants drive the deterministic candidate stream —
+#: plain integer arithmetic so the DuckDB twin (and any other engine)
+#: reproduces the exact sample with no RNG-implementation coupling.
+NEG_A = 48271
+NEG_B = 16807
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    embedding training (reference analog: the reference validates
+    triplets one-at-a-time against an LLM, validate_claims.py — a
+    trainer instead needs K counterexample documents per anchor,
+    which is a corpus-scale join problem).
+
+    Each anchor draws NEG_K pseudo-random candidate doc_ids from a
+    Lehmer stream over the dense id space ((id·A + j·B) mod N — exact
+    below 2^63 for id < ~1.9e14; a 100 TB corpus with ~1e11 docs is
+    3 orders of magnitude inside the bound), drops self-hits, and
+    keeps candidates from a DIFFERENT source (the usual "hard false
+    negative" guard).  Scale shape: a row-local K-way explode, then
+    ONE equi-join on neg_id against the (doc_id, source) projection —
+    both sides hash-partitioned on the join key; no window, no
+    broadcast of a corpus-sized side, no RNG.  Sampling misses (self
+    hit / same source) are dropped rather than re-drawn, so the plan
+    stays one-pass; a trainer wanting exactly-K oversamples K."""
+    n = _max_doc_id(spark, sf_dir) + 1
+    docs = _docs(spark, sf_dir)
+    anchors = docs.select("doc_id", F.col("source").alias("anchor_source"))
+    cands = anchors.select(
+        "doc_id",
+        "anchor_source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {NEG_K}), "
+                f"j -> (doc_id * {NEG_A}L + j * {NEG_B}L) % {n}L)"
+            )
+        ).alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("doc_id"))
+    negs = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        cands.join(negs, "neg_id")
+        .filter(F.col("neg_source") != F.col("anchor_source"))
+        .select("doc_id", "anchor_source", "neg_id", "neg_source")
+        .orderBy("doc_id", "neg_id")
+    )
+
+
 _WS_SQL = f"""
   ws AS (
     SELECT doc_id, string_split(text, ' ') AS ws,
@@ -304,10 +355,27 @@ ORACLE_SQL = {
                array_to_string(seg, ' ') AS chunk_text
         FROM chunks ORDER BY doc_id, chunk_id
     """,
+    "contrastive_negatives": f"""
+        WITH bound AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        cands AS (
+          SELECT d.doc_id, d.source AS anchor_source,
+                 (d.doc_id * {NEG_A} + j * {NEG_B})
+                   % (SELECT n FROM bound) AS neg_id
+          FROM documents d, unnest(range(1, {NEG_K} + 1)) AS t(j)
+        )
+        SELECT c.doc_id, c.anchor_source,
+               CAST(c.neg_id AS BIGINT) AS neg_id,
+               d2.source AS neg_source
+        FROM cands c JOIN documents d2 ON d2.doc_id = c.neg_id
+        WHERE c.neg_id <> c.doc_id
+          AND d2.source <> c.anchor_source
+        ORDER BY c.doc_id, c.neg_id
+    """,
 }
 
 QUERIES = {
     "para_dedup": para_dedup,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
+    "contrastive_negatives": contrastive_negatives,
 }

@@ -191,10 +191,61 @@ def test_lang_sampling_weights_flatten_the_head(spark):
 @pytest.mark.parametrize(
     "key",
     ["para_dedup", "pack_sequences", "semdedup", "chunk_documents",
-     "lang_sampling_weights"],
+     "lang_sampling_weights", "contrastive_negatives",
+     "bpe_merge_topk", "bpe_train_merges"],
 )
 def test_new_keys_registered(key):
     import __spark_entry__ as entry
 
     assert key in entry.queries()
     assert key in entry.oracle_sql()
+
+
+def test_contrastive_negatives_matches_pure_python(spark):
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    src = dict(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+    n = max(src) + 1
+    expected = []
+    for a in sorted(src):
+        for j in range(1, packing.NEG_K + 1):
+            neg = (a * packing.NEG_A + j * packing.NEG_B) % n
+            if neg != a and src[neg] != src[a]:
+                expected.append((a, src[a], neg, src[neg]))
+    expected.sort()
+    got = [
+        (r["doc_id"], r["anchor_source"], r["neg_id"], r["neg_source"])
+        for r in packing.contrastive_negatives(spark, SF).collect()
+    ]
+    assert sorted(got) == expected
+    assert len(expected) > 0
+
+
+def test_contrastive_negatives_guards_fire(spark, tmp_path):
+    # 3 docs, 2 sources: id 0 draws (0*A + j*B) % 3 = 16807*j % 3 =
+    # j % 3, so j=3 is a SELF hit; and doc 1 vs doc 0 share source sA,
+    # so same-source candidates must drop too.
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [(0, "t", "en", "sA", 1), (1, "t", "en", "sA", 1),
+            (2, "t", "en", "sB", 1)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    src = {0: "sA", 1: "sA", 2: "sB"}
+    expected = sorted(
+        (a, src[a], (a * packing.NEG_A + j * packing.NEG_B) % 3,
+         src[(a * packing.NEG_A + j * packing.NEG_B) % 3])
+        for a in src for j in range(1, packing.NEG_K + 1)
+        if (a * packing.NEG_A + j * packing.NEG_B) % 3 != a
+        and src[(a * packing.NEG_A + j * packing.NEG_B) % 3] != src[a]
+    )
+    got = sorted(
+        (r["doc_id"], r["anchor_source"], r["neg_id"], r["neg_source"])
+        for r in packing.contrastive_negatives(spark, str(d)).collect()
+    )
+    assert got == expected
+    drawn = 3 * packing.NEG_K
+    assert 0 < len(got) < drawn  # both guards actually dropped rows
