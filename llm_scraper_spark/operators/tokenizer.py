@@ -173,9 +173,81 @@ def _oracle_bpe_train() -> str:
     )
 
 
+def bpe_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply composition for the tokenizer (the same discipline
+    as ann_ivf_trained_topk): run the N_MERGES trainer, then ENCODE the
+    corpus with the learned merge table and report per-source token
+    accounting — (source, n_words, n_alpha_chars, n_bpe_tokens,
+    chars_saved).  n_bpe_tokens is the post-merge symbol count (every
+    placeholder = one token), so chars_saved is exactly the number of
+    merge applications — the compression the learned table buys.
+
+    Scale shape: the merge table is N_MERGES driver-side literals
+    (bounded scalars, same discipline as the trainer's argmax rows),
+    so encoding is a chain of N_MERGES non-regex ``replace`` calls
+    INSIDE whole-stage codegen on the exploded word stream — zero
+    joins, zero broadcast, zero Python; the only shuffle is the final
+    |sources|-key hash agg.  A production encoder with thousands of
+    merges would instead broadcast-join the (word → encoded_len)
+    VOCABULARY frame (millions of rows) — same output, one extra
+    broadcast; at N_MERGES the inline chain is strictly cheaper."""
+    merges = [
+        r["pair"] for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    enc = F.col("w")
+    for rnd, pair in enumerate(merges):
+        enc = F.replace(enc, F.lit(pair), F.lit(PLACEHOLDERS[rnd]))
+    return (
+        words.select("source", F.length("w").alias("wl"), F.length(enc).alias("el"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("wl").cast("long").alias("n_alpha_chars"),
+            F.sum("el").cast("long").alias("n_bpe_tokens"),
+            (F.sum("wl") - F.sum("el")).cast("long").alias("chars_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    """Twin of `bpe_encode_summary`: the trainer's unrolled CTEs
+    re-derive the merge table in SQL, and the encode chain reads each
+    round's pair via a scalar subquery — one source of truth, the twin
+    can't drift from the trainer."""
+    train = _oracle_bpe_train()
+    ctes = train[len("WITH ") : train.index("\nSELECT * FROM top_0")]
+    enc = "w"
+    for rnd in range(N_MERGES):
+        enc = (
+            f"replace({enc}, (SELECT pair FROM top_{rnd}), "
+            f"'{PLACEHOLDERS[rnd]}')"
+        )
+    return f"""
+    WITH {ctes},
+    words AS (
+      SELECT source, w FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE length(w) >= 1
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_words,
+           sum(length(w))::BIGINT AS n_alpha_chars,
+           sum(length({enc}))::BIGINT AS n_bpe_tokens,
+           (sum(length(w)) - sum(length({enc})))::BIGINT AS chars_saved
+    FROM words GROUP BY source ORDER BY source
+    """
+
+
 QUERIES = {
     "bpe_merge_topk": bpe_merge_topk,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_summary": bpe_encode_summary,
 }
 
 ORACLE_SQL = {
@@ -196,4 +268,5 @@ ORACLE_SQL = {
     LIMIT {BPE_TOPK}
     """,
     "bpe_train_merges": _oracle_bpe_train(),
+    "bpe_encode_summary": _oracle_bpe_encode(),
 }

@@ -100,3 +100,33 @@ def test_overlapping_pair_merges_greedy_left_to_right(spark, tmp_path):
     # round 2 runs over the REWRITTEN vocab: aaaa->"00", aaa->"0a",
     # ab->"ab"; pairs: 00×2, 0a×1, ab×1
     assert got[1] == (1, "00", 2)
+
+
+def _py_encode_summary(rows, merges):
+    # rows: (source, text); returns {source: (n_words, n_chars, n_toks)}
+    out = {}
+    for source, text in rows:
+        for w in re.split("[^a-z]+", text.lower()):
+            if not w:
+                continue
+            e = w
+            for rnd, pair in enumerate(merges):
+                e = _py_replace(e, pair, tokenizer.PLACEHOLDERS[rnd])
+            nw, nc, nt = out.get(source, (0, 0, 0))
+            out[source] = (nw + 1, nc + len(w), nt + len(e))
+    return out
+
+
+def test_bpe_encode_summary_matches_pure_python(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    rows = list(zip(t["source"].to_pylist(), t["text"].to_pylist()))
+    merges = [p for _, p, _ in _py_train([x for _, x in rows], tokenizer.N_MERGES)]
+    expected = _py_encode_summary(rows, merges)
+    got = {
+        r["source"]: (r["n_words"], r["n_alpha_chars"], r["n_bpe_tokens"])
+        for r in tokenizer.bpe_encode_summary(spark, SF).collect()
+    }
+    assert got == expected
+    # every merge application saves exactly one symbol, so the encoded
+    # stream is never longer than the raw one
+    assert all(nt <= nc for _, nc, nt in got.values())
