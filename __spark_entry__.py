@@ -21,6 +21,7 @@ from llm_scraper_spark.operators import (
     htmltables,
     multimodal,
     packing,
+    pq,
     reference_parity,
     relational,
     scrub,
@@ -49,6 +50,7 @@ _MODULES = (
     spans,
     dedup,
     similarity,
+    pq,
     textstats,
     tokenizer,
     curation,
