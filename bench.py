@@ -327,9 +327,27 @@ def summarize_pairs(
         p["ceiling_bound"] = pair_ceiling_bound(
             p, ceiling, ceiling_fraction=ceiling_fraction
         )
+    # Superlinear guard (round-2 advice, the bias bound made explicit):
+    # this workload — shuffle- and write-bound identical jobs on
+    # identical input — cannot genuinely scale BETTER than linearly, so
+    # eff > 1.0 is direct evidence the pair's small leg ran degraded
+    # (steal between the clock-probe snapshots).  Such pairs pass the
+    # relative band when the epoch's other small legs are equally
+    # degraded (measured 2026-08-19: legs 3.9/3.7/4.6k vs the 6.2k
+    # clean epoch — the median band kept the slow legs and excluded
+    # the clean one, leaving a lone 1.01 "usable" pair), so the
+    # absolute sanity bound is the backstop the relative bands can't
+    # provide.
+    for p in pairs:
+        p["superlinear_suspect"] = bool(p["eff"] and p["eff"] > 1.0)
     out: dict = {"pairs": pairs}
     usable = [
-        p["eff"] for p in pairs if p["eff"] and p["valid"] and not p["ceiling_bound"]
+        p["eff"]
+        for p in pairs
+        if p["eff"]
+        and p["valid"]
+        and not p["ceiling_bound"]
+        and not p["superlinear_suspect"]
     ]
     out["paired_efficiencies"] = [p["eff"] for p in pairs]
     out["n_pairs_excluded_invalid"] = sum(
@@ -344,6 +362,9 @@ def summarize_pairs(
     )
     out["n_pairs_host_ceiling_bound"] = sum(
         1 for p in pairs if p["eff"] and p["ceiling_bound"]
+    )
+    out["n_pairs_excluded_superlinear"] = sum(
+        1 for p in pairs if p["superlinear_suspect"]
     )
     out["best_paired_efficiency"] = max(usable, default=None)
     out["pairs_over_criterion"] = sum(e >= 0.8 for e in usable)
@@ -360,9 +381,45 @@ def summarize_pairs(
         default=None,
     )
     out["speedup"] = round(best[1] / best[0], 3) if best else None
+    # Ratio-of-maxes per family (min-time principle: host interference
+    # only ever SLOWS a leg, so the fastest leg per level is the
+    # least-degraded observation of the engine; the ratio of maxes is
+    # the least-biased clean-ratio estimate when legs degrade
+    # independently).  Context key per family + the first fallback
+    # below when no pair survives the weather gates.
+    for small, big in FAMILIES:
+        ms = max(thr.get(small) or [0]), max(thr.get(big) or [0])
+        if ms[0] and ms[1]:
+            out[f"ratio_of_maxes_{small}to{big}"] = round(
+                ms[1] / ms[0] / (big / small), 3
+            )
     med = _median(usable)
-    if med is None:  # every pair ceiling-bound: report raw valid median
-        med = _median([p["eff"] for p in pairs if p["eff"] and p["valid"]])
+    if med is None:
+        # no pair survived (every one weather-excluded / ceiling-bound
+        # / superlinear): fall back, in disclosed order, to (1) the
+        # primary family's ratio of maxes — leg-level, immune to the
+        # pair-adjacency failures that emptied the usable set — then
+        # (2) the median of valid non-suspect pairs, then (3) the raw
+        # median.
+        rm = out.get(f"ratio_of_maxes_{FAMILIES[0][0]}to{FAMILIES[0][1]}")
+        if rm is not None:
+            med = rm
+            out["estimator_fallback"] = (
+                f"ratio_of_maxes_{FAMILIES[0][0]}to{FAMILIES[0][1]} "
+                "(no usable pair this epoch)"
+            )
+        else:
+            med = _median(
+                [
+                    p["eff"]
+                    for p in pairs
+                    if p["eff"] and p["valid"] and not p["superlinear_suspect"]
+                ]
+            )
+            if med is None:
+                med = _median([p["eff"] for p in pairs if p["eff"]])
+            if med is not None:
+                out["estimator_fallback"] = "median of valid non-suspect pairs"
     out["scaling_efficiency"] = round(med, 3) if med is not None else None
     # disclosed secondary estimator: pool all legs per level, ratio of
     # medians — maximally robust to per-leg weather, but it decouples
@@ -495,7 +552,10 @@ def bench_crawl_scaling() -> dict:
         usable = [
             p["eff"]
             for p in interim["pairs"]
-            if p["eff"] and p["valid"] and not p["ceiling_bound"]
+            if p["eff"]
+            and p["valid"]
+            and not p["ceiling_bound"]
+            and not p.get("superlinear_suspect")
         ]
         # Early exit once the headline clears the criterion with margin
         # AND ≥2 usable pairs individually clear it: further reps exist
@@ -526,8 +586,14 @@ def bench_crawl_scaling() -> dict:
         "accounting — mismatched cycle-delivery regimes corrupt the "
         "ratio in either direction); pair "
         f"ceiling-bound iff big leg >= {CEILING_FRACTION} x the host "
-        "ceiling (host, not engine, is the limiter); best pair and "
-        "per-family ratio_of_medians reported separately"
+        "ceiling (host, not engine, is the limiter); pairs with "
+        "eff > 1.0 are superlinear-suspect (physically implausible "
+        "for this shuffle/write-bound job: the small leg ran "
+        "degraded) and excluded; if NO pair survives the gates, the "
+        "disclosed fallback is the primary family's ratio of maxes "
+        "(fastest leg per level = least-degraded observation); best "
+        "pair, per-family ratio_of_medians and ratio_of_maxes "
+        "reported separately"
     )
     return out
 

@@ -283,7 +283,74 @@ _WS_SQL = f"""
   )
 """
 
+#: training shards produced by the deterministic global shuffle.
+N_SHARDS = 16
+#: checksum moduli (primes) — fold the 60-bit shuffle keys before the
+#: order-pinning sums so no sum can leave int64 at any corpus size.
+_CK_P1 = 1_000_000_007
+_CK_P2 = 1_000_003
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into N_SHARDS
+    training shards — the epoch-order step between a curated corpus
+    and a trainer's data loader: every doc gets a pseudorandom 60-bit
+    key (md5 of its id — seedable, reproducible across runs and
+    engines), its shard is key mod N_SHARDS, and its within-shard
+    order is the (key, doc_id) sort.
+
+    Scale shape: ONE row-local hash per doc and ONE hash-aggregation
+    by shard — no window, no sort, no driver collect.  The within-
+    shard order needs no rank column to be verified: order is a pure
+    function of the per-shard key multiset, so the summary pins it
+    with order-free integer checksums (key and key×doc products folded
+    mod primes — exact int64 in both engines).  The production writer
+    is ``repartition(shard).sortWithinPartitions(key)`` + parquet (a
+    balanced shuffle: keys are uniform, so shards are even by
+    construction); this query is its verification artifact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.expr(
+        "cast(conv(substr(md5(concat('shuf:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        key.alias("key"),
+    ).withColumn("shard", F.pmod(F.col("key"), F.lit(N_SHARDS)))
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+            F.sum(F.col("key") % _CK_P1).cast("long").alias("key_sum"),
+            F.sum((F.col("key") % _CK_P2) * (F.col("doc_id") % _CK_P2))
+            .cast("long")
+            .alias("pair_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
 ORACLE_SQL = {
+    "global_shuffle_shards": f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                      1, 15) AS BIGINT) AS key
+          FROM documents
+        )
+        SELECT key % {N_SHARDS} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS n_chars,
+               min(key) AS min_key,
+               max(key) AS max_key,
+               sum(key % {_CK_P1})::BIGINT AS key_sum,
+               sum((key % {_CK_P2}) * (doc_id % {_CK_P2}))::BIGINT AS pair_sum
+        FROM keyed GROUP BY shard ORDER BY shard
+    """,
     "para_dedup": f"""
         WITH {_WS_SQL},
         segs AS (
@@ -374,6 +441,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "global_shuffle_shards": global_shuffle_shards,
     "para_dedup": para_dedup,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,

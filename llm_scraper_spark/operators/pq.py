@@ -270,6 +270,43 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against the exact brute-force
+    top-k — the acceptance gauge for the 64×-compressed index (the PQ
+    twin of similarity.ann_recall_eval, same composition shape:
+    semi-join exact × approx on (query, neighbor), count per query)."""
+    from llm_scraper_spark.operators.similarity import sim_bruteforce_topk
+
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0).cast("long")).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ------------------------------------------------------------- twins
 
 _SUBS_SQL = f"""
@@ -372,7 +409,39 @@ ORACLE_SQL = {
     """,
 }
 
+# composed twin (DuckDB allows WITH inside parenthesized subqueries):
+# wraps the exact oracle from similarity.py and the PQ oracle above
+# verbatim — one source of truth for both definitions.
+def _recall_sql() -> str:
+    from llm_scraper_spark.operators.similarity import ORACLE_SQL as SIM_SQL
+
+    return f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({SIM_SQL["sim_bruteforce_topk"]}) e
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE_SQL["ann_pq_topk"]}) a
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ),
+    base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT b.query_id,
+           CAST(b.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """
+
+
+ORACLE_SQL["ann_pq_recall"] = _recall_sql()
+
 QUERIES = {
     "ann_pq_codebook": ann_pq_codebook,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
 }

@@ -130,3 +130,37 @@ def test_per_family_and_ratio_of_medians_keys():
     assert out["scaling_efficiency_2to8"] == 0.819
     assert 0.88 <= out["scaling_efficiency_1to4"] <= 0.91
     assert 0.80 <= out["ratio_of_medians_1to4"] <= 0.92
+
+
+def test_superlinear_pair_excluded_with_ratio_of_maxes_fallback():
+    # replay of the measured 2026-08-19 degraded epoch: every 1-core
+    # leg ran slow (3.9/3.7/4.6k vs the 6.2k clean epoch), the median
+    # band kept the two slowest and excluded the cleanest, and the
+    # lone surviving pair read a physically-implausible 1.01
+    pairs = [
+        mkpair(2, 8, 10120, 25256),           # ceiling-bound at 26.8k
+        mkpair(2, 8, 8702, 18329, 1.2),       # clock mismatch
+        mkpair(1, 4, 3859, 15586),            # 1.01 -> suspect
+        mkpair(1, 4, 3686, 10803, 1.25),      # clock mismatch
+        mkpair(1, 4, 4571, 16005),            # cleanest leg; band-excluded
+    ]
+    out = summarize(pairs, ceiling=26804.0)
+    assert out["pairs"][2]["superlinear_suspect"]
+    assert out["n_pairs_excluded_superlinear"] == 1
+    # no usable pair -> disclosed fallback to ratio of maxes of the
+    # primary family: 16005 / 4571 / 4 = 0.875
+    assert out["estimator_fallback"].startswith("ratio_of_maxes_1to4")
+    assert out["scaling_efficiency"] == 0.875
+    assert out["ratio_of_maxes_1to4"] == 0.875
+
+
+def test_superlinear_guard_does_not_touch_clean_epochs():
+    pairs = [
+        mkpair(1, 4, 6290, 21375),  # 0.85 (the recorded sixth run)
+        mkpair(1, 4, 6167, 21302),  # 0.864
+        mkpair(2, 8, 11366, 35968),  # 0.791
+    ]
+    out = summarize(pairs, ceiling=45000.0)
+    assert out["n_pairs_excluded_superlinear"] == 0
+    assert "estimator_fallback" not in out
+    assert out["scaling_efficiency"] == 0.85

@@ -249,3 +249,43 @@ def test_contrastive_negatives_guards_fire(spark, tmp_path):
     assert got == expected
     drawn = 3 * packing.NEG_K
     assert 0 < len(got) < drawn  # both guards actually dropped rows
+
+
+def _py_shuffle_summary():
+    import hashlib
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    P1, P2 = packing._CK_P1, packing._CK_P2
+    agg = {}
+    for did, nc in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+        key = int(hashlib.md5(f"shuf:{did}".encode()).hexdigest()[:15], 16)
+        s = key % packing.N_SHARDS
+        a = agg.setdefault(s, [0, 0, None, None, 0, 0])
+        a[0] += 1
+        a[1] += nc
+        a[2] = key if a[2] is None else min(a[2], key)
+        a[3] = key if a[3] is None else max(a[3], key)
+        a[4] += key % P1
+        a[5] += (key % P2) * (did % P2)
+    return agg
+
+
+def test_global_shuffle_shards_matches_pure_python(spark):
+    expected = _py_shuffle_summary()
+    got = {
+        r["shard"]: [
+            r["n_docs"], r["n_chars"], r["min_key"], r["max_key"],
+            r["key_sum"], r["pair_sum"],
+        ]
+        for r in packing.global_shuffle_shards(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_global_shuffle_shards_are_balanced(spark):
+    # uniform md5 keys -> even shards by construction; at 500 docs /
+    # 16 shards allow generous binomial wobble but no hot shard
+    rows = packing.global_shuffle_shards(spark, SF).collect()
+    sizes = [r["n_docs"] for r in rows]
+    assert len(sizes) == packing.N_SHARDS
+    assert max(sizes) <= 3 * max(1, min(sizes))
