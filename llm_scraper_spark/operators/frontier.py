@@ -33,14 +33,21 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.bloom import BloomFilter, build_bloom, with_bloom_flag
 from ..functions.urls import canonicalize_col, host_col, url_hash_col
-from ..sources.synthweb import fetch_batch
+from ..sources.synthweb import fetch_batch, transient_ok
 
 DEFAULT_CRAWL_DELAY_MS = 1000
+
+#: P10 analog of the reference's RETRIES=3 loops
+#: (scrape_eccomerce.py:26): a failed fetch re-enters the next round's
+#: frontier with attempt+1 until this many attempts are spent, then
+#: the URL is marked resolved (gave up) so it is never rescheduled.
+DEFAULT_MAX_ATTEMPTS = 3
 
 _FETCH_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,"
     "media_ref:string,offset:int>>, outlinks array<string>, "
-    "depth int, slot int, priority double, url_hash long, host string"
+    "depth int, slot int, priority double, url_hash long, host string, "
+    "attempt int, ok boolean"
 )
 
 
@@ -73,18 +80,42 @@ class RoundResult:
             df.unpersist()
 
 
-def _fetch_map(iterator):
-    """mapInPandas kernel: Arrow batches of eligible frontier rows →
-    (doc_id, spans, outlinks) via the deterministic synthetic web.
-    Pass-through of slot/priority/etc. keeps the fetch log join-free."""
-    for pdf in iterator:
-        fetched = fetch_batch(pdf["url"])
-        fetched["depth"] = pdf["depth"].values
-        fetched["slot"] = pdf["slot"].values
-        fetched["priority"] = pdf["priority"].values
-        fetched["url_hash"] = pdf["url_hash"].values
-        fetched["host"] = pdf["host"].values
-        yield fetched
+def _fetch_map_factory(fail_mod: int, fail_attempts: int):
+    """mapInPandas kernel factory: Arrow batches of eligible frontier
+    rows → (doc_id, spans, outlinks, ok) via the deterministic
+    synthetic web.  Pass-through of slot/priority/etc. keeps the fetch
+    log join-free.  A row that fails (transient_ok) yields NO content
+    — blank spans and outlinks — so no document row and no discovered
+    link can leak from a failed fetch; with fail_mod=0 (the default)
+    ok is constant-true and the content path is byte-identical to the
+    pre-retry kernel."""
+
+    def _fetch_map(iterator):
+        for pdf in iterator:
+            fetched = fetch_batch(pdf["url"])
+            if fail_mod > 0:
+                ok = [
+                    transient_ok(u, int(a), fail_mod, fail_attempts)
+                    for u, a in zip(pdf["url"], pdf["attempt"])
+                ]
+                fetched["spans"] = [
+                    s if o else [] for s, o in zip(fetched["spans"], ok)
+                ]
+                fetched["outlinks"] = [
+                    ln if o else [] for ln, o in zip(fetched["outlinks"], ok)
+                ]
+            else:
+                ok = [True] * len(pdf)
+            fetched["depth"] = pdf["depth"].values
+            fetched["slot"] = pdf["slot"].values
+            fetched["priority"] = pdf["priority"].values
+            fetched["url_hash"] = pdf["url_hash"].values
+            fetched["host"] = pdf["host"].values
+            fetched["attempt"] = pdf["attempt"].values
+            fetched["ok"] = ok
+            yield fetched
+
+    return _fetch_map
 
 
 def run_round(
@@ -100,6 +131,9 @@ def run_round(
     bloom: BloomFilter | None = None,
     use_bloom: bool = True,
     seen_count_estimate: int | None = None,
+    fail_mod: int = 0,
+    fail_attempts: int = 0,
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
 ) -> RoundResult:
     """Execute crawl round ``round_no``; all outputs are lazy DataFrames.
 
@@ -122,6 +156,10 @@ def run_round(
     """
     if fetch_partitions is None:
         fetch_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # frontiers written before the retry column existed (or built by
+    # hand in tests) normalize to attempt 0
+    if "attempt" not in frontier.columns:
+        frontier = frontier.withColumn("attempt", F.lit(0))
 
     # --- J3: frontier anti-join seen, Bloom-prefiltered ----------------
     if use_bloom and bloom is None and seen_count_estimate:
@@ -209,12 +247,15 @@ def run_round(
     deferred = (
         slotted.filter(F.col("slot") > F.col("_budget"))
         .unionByName(defer_local.withColumn("slot", F.lit(None).cast("int")))
-        .select("url", "url_hash", "host", "priority", "depth", "discovered_round")
+        .select(
+            "url", "url_hash", "host", "priority", "depth",
+            "discovered_round", "attempt",
+        )
     )
 
     # --- fetch: salted host-hash repartition → Arrow fetch kernel ------
     to_fetch = eligible.select(
-        "url", "url_hash", "host", "priority", "depth", "slot", "_salt"
+        "url", "url_hash", "host", "priority", "depth", "slot", "_salt", "attempt"
     )
     # NOT persisted: the driver writes this superset to its parquet
     # snapshot exactly once and every other consumer derives from the
@@ -226,15 +267,18 @@ def run_round(
     fetched = (
         to_fetch.repartition(fetch_partitions, F.col("host"), F.col("_salt"))
         .drop("_salt")
-        .mapInPandas(_fetch_map, _FETCH_SCHEMA)
+        .mapInPandas(_fetch_map_factory(fail_mod, fail_attempts), _FETCH_SCHEMA)
     )
 
-    projections = fetched_projections(fetched, round_no)
+    projections = fetched_projections(fetched, round_no, max_attempts=max_attempts)
     seen_delta = projections["seen_delta"].unionByName(blocked_seen)
 
     def _next_frontier() -> DataFrame:
-        return deferred.unionByName(
-            frontier_delta(fetched, seen, seen_delta, deferred, round_no=round_no)
+        rt = retry_rows(fetched, round_no, max_attempts)
+        return deferred.unionByName(rt).unionByName(
+            frontier_delta(
+                fetched, seen, seen_delta, deferred, round_no=round_no, retries=rt
+            )
         )
 
     return RoundResult(
@@ -257,6 +301,7 @@ def frontier_delta(
     deferred: DataFrame,
     *,
     round_no: int,
+    retries: DataFrame | None = None,
 ) -> DataFrame:
     """W3: new frontier links = canonicalized outlinks of ``fetched``,
     anti-joined against (seen ∪ this round's delta ∪ deferred).
@@ -285,6 +330,7 @@ def frontier_delta(
         .agg((F.min("depth") + 1).alias("depth"))
         .withColumn("priority", F.col("depth").cast("double"))
         .withColumn("discovered_round", F.lit(round_no + 1))
+        .withColumn("attempt", F.lit(0))
     )
     # ONE anti-join against the union of all known URLs, not three
     # chained ones: each chained join re-shuffles the (wide) canon side,
@@ -297,16 +343,55 @@ def frontier_delta(
         .unionByName(seen_delta.select("url_hash", "url"))
         .unionByName(deferred.select("url_hash", "url"))
     )
+    if retries is not None:
+        # pending retries are neither seen nor deferred but ARE already
+        # scheduled — without this union a page linking to a currently-
+        # failing URL would duplicate it in the next frontier
+        known = known.unionByName(retries.select("url_hash", "url"))
     return canon.join(
         known.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
-    ).select("url", "url_hash", "host", "priority", "depth", "discovered_round")
+    ).select(
+        "url", "url_hash", "host", "priority", "depth",
+        "discovered_round", "attempt",
+    )
 
 
-def fetched_projections(fetched: DataFrame, round_no: int) -> dict[str, DataFrame]:
+def resolved_filter(max_attempts: int = DEFAULT_MAX_ATTEMPTS):
+    """Rows of a fetch snapshot that are RESOLVED — fetched ok, or
+    failed their final attempt (gave up).  Only resolved rows enter the
+    seen set; a pending-retry row must stay schedulable.  With the
+    failure model off every row has ok=true and this folds to true."""
+    return F.col("ok") | (F.col("attempt") + 1 >= F.lit(max_attempts))
+
+
+def retry_rows(
+    fetched: DataFrame, round_no: int, max_attempts: int = DEFAULT_MAX_ATTEMPTS
+) -> DataFrame:
+    """Failed rows with attempts left → next round's frontier, attempt
+    bumped (the reference's RETRIES loop as a frontier re-entry —
+    SURVEY §2.9 'failed rows re-enter next round's frontier')."""
+    return fetched.filter(
+        (~F.col("ok")) & (F.col("attempt") + 1 < F.lit(max_attempts))
+    ).select(
+        F.col("doc_id").alias("url"),
+        "url_hash",
+        "host",
+        "priority",
+        "depth",
+        F.lit(round_no).alias("discovered_round"),
+        (F.col("attempt") + 1).cast("int").alias("attempt"),
+    )
+
+
+def fetched_projections(
+    fetched: DataFrame, round_no: int, max_attempts: int = DEFAULT_MAX_ATTEMPTS
+) -> dict[str, DataFrame]:
     """Column projections of one round's fetched superset — the single
     fetched snapshot serves as fetch log, documents table, and seen
     delta; parquet column pruning makes each read touch only its
-    columns."""
+    columns.  documents keeps only ok rows (a failed fetch yields no
+    page); seen_delta keeps RESOLVED rows only, so pending retries
+    stay schedulable."""
     return {
         "fetch_log": fetched.select(
             F.lit(round_no).alias("round"),
@@ -316,11 +401,13 @@ def fetched_projections(fetched: DataFrame, round_no: int) -> dict[str, DataFram
             "url_hash",
             "priority",
             "depth",
+            "attempt",
+            "ok",
         ),
-        "documents": fetched.select(
+        "documents": fetched.filter(F.col("ok")).select(
             "doc_id", "spans", F.lit(round_no).alias("round")
         ),
-        "seen_delta": fetched.select(
+        "seen_delta": fetched.filter(resolved_filter(max_attempts)).select(
             "url_hash",
             F.col("doc_id").alias("url"),
             F.lit(round_no).alias("first_round"),

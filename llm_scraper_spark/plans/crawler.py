@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions.urls import canonicalize_col, host_col, url_hash_col
-from ..operators.frontier import frontier_delta, run_round
+from ..operators.frontier import (
+    frontier_delta,
+    resolved_filter,
+    retry_rows,
+    run_round,
+)
 
 
 def _parquet_partition_rows(path: str) -> list[dict]:
@@ -100,6 +105,7 @@ def seeds_to_frontier(spark: SparkSession, seed_list: list[str]) -> DataFrame:
             F.lit(0.0).alias("priority"),
             F.lit(0).alias("depth"),
             F.lit(0).alias("discovered_round"),
+            F.lit(0).alias("attempt"),
         )
     )
 
@@ -116,6 +122,9 @@ class Crawler:
         fetch_partitions: int | None = None,
         bloom_capacity: int | None = None,
         compact_every: int = 8,
+        fail_mod: int = 0,
+        fail_attempts: int = 0,
+        max_attempts: int = 3,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -123,6 +132,15 @@ class Crawler:
         self.salt_buckets = salt_buckets
         self.use_bloom = use_bloom
         self.fetch_partitions = fetch_partitions
+        # bounded-retry config (SURVEY §2.9, the reference's RETRIES=3
+        # analog): fail_mod>0 turns on the deterministic transient-
+        # failure model (synthweb.transient_ok); failed fetches re-enter
+        # the next frontier with attempt+1 until max_attempts, then the
+        # URL resolves as gave-up (enters seen, never rescheduled).
+        # Defaults keep the crawl failure-free and reference-equal.
+        self.fail_mod = fail_mod
+        self.fail_attempts = fail_attempts
+        self.max_attempts = max_attempts
         # rewrite the seen set as one base snapshot every N rounds
         # (0/None disables); deltas since the base still union in
         self.compact_every = compact_every
@@ -230,8 +248,14 @@ class Crawler:
                 )
             )
         if fetch_paths:
+            snap = self.spark.read.parquet(*fetch_paths)
+            if "ok" in snap.columns:
+                # only RESOLVED rows are seen: a pending retry must stay
+                # schedulable (frontier.resolved_filter; constant-true
+                # when the failure model is off)
+                snap = snap.filter(resolved_filter(self.max_attempts))
             parts.append(
-                self.spark.read.parquet(*fetch_paths).select(
+                snap.select(
                     "url_hash",
                     F.col("doc_id").alias("url"),
                     F.col("round").alias("first_round"),
@@ -424,6 +448,9 @@ class Crawler:
                 use_bloom=self.use_bloom,
                 bloom=self._bloom,
                 fetch_partitions=self.fetch_partitions,
+                fail_mod=self.fail_mod,
+                fail_attempts=self.fail_attempts,
+                max_attempts=self.max_attempts,
             )
             _mark("plan")
             # ONE fetched-superset write runs the whole round pipeline;
@@ -443,15 +470,19 @@ class Crawler:
             # inside AQE broadcast builds), and a resume after this
             # write recomputes the identical frontier
             snap = self.spark.read.parquet(self._p("fetch", f"r{r}.parquet"))
-            snap_delta = snap.select(
+            snap_delta = snap.filter(resolved_filter(self.max_attempts)).select(
                 "url_hash",
                 F.col("doc_id").alias("url"),
                 F.col("round").alias("first_round"),
             ).unionByName(
                 self.spark.read.parquet(self._p("blocked", f"r{r}.parquet"))
             )
-            next_frontier = res.deferred.unionByName(
-                frontier_delta(snap, seen, snap_delta, res.deferred, round_no=r)
+            retries = retry_rows(snap, r, self.max_attempts)
+            next_frontier = res.deferred.unionByName(retries).unionByName(
+                frontier_delta(
+                    snap, seen, snap_delta, res.deferred, round_no=r,
+                    retries=retries,
+                )
             )
             # Balanced-files write: without the explicit url_hash
             # repartition, the union writes each branch's AQE-coalesced
@@ -480,7 +511,40 @@ class Crawler:
                 x["rows"]
                 for x in _parquet_partition_rows(self._p("blocked", f"r{r}.parquet"))
             )
-            delta_rows = fetched + blocked_rows
+            retry_counts = None
+            if self.fail_mod:
+                # retry accounting needs a filtered scan (footers can't
+                # see the ok column) — one tiny 2-bool-column agg job,
+                # run ONLY when the failure model is on, so the
+                # benchmarked failure-free path keeps its zero-job
+                # footer-only accounting
+                row = snap.agg(
+                    F.sum(F.col("ok").cast("long")).alias("ok"),
+                    F.sum(
+                        (
+                            (~F.col("ok"))
+                            & (F.col("attempt") + 1 < self.max_attempts)
+                        ).cast("long")
+                    ).alias("retry"),
+                    F.sum(
+                        (
+                            (~F.col("ok"))
+                            & (F.col("attempt") + 1 >= self.max_attempts)
+                        ).cast("long")
+                    ).alias("gaveup"),
+                ).collect()[0]
+                retry_counts = {
+                    "fetched_ok": int(row["ok"] or 0),
+                    "retry_pending": int(row["retry"] or 0),
+                    "gave_up": int(row["gaveup"] or 0),
+                }
+                delta_rows = (
+                    retry_counts["fetched_ok"]
+                    + retry_counts["gave_up"]
+                    + blocked_rows
+                )
+            else:
+                delta_rows = fetched + blocked_rows
             next_frontier_rows = sum(
                 x["rows"]
                 for x in _parquet_partition_rows(
@@ -518,6 +582,8 @@ class Crawler:
                 "phase_sec": phase_t,
                 "partition_lineage": sorted(lineage, key=lambda x: x["partition"]),
             }
+            if retry_counts:
+                manifest.update(retry_counts)
             _write_manifest(self.workdir, r, manifest)
             manifests.append(manifest)
             if next_frontier_rows == 0:

@@ -267,3 +267,19 @@ def fetch_batch(urls: pd.Series) -> pd.DataFrame:
             "outlinks": [page_outlinks(u) for u in urls],
         }
     )
+
+
+def transient_ok(url: str, attempt: int, fail_mod: int, fail_attempts: int) -> bool:
+    """Deterministic transient-failure model: URLs whose flaky-hash is
+    ≡ 0 (mod ``fail_mod``) FAIL on attempts 0..fail_attempts-1 and
+    succeed from attempt ``fail_attempts`` on (set fail_attempts ≥ the
+    crawler's max_attempts for a permanent failure).  fail_mod ≤ 0
+    disables the model entirely — the default crawl never fails, so
+    the reference-equality contract (crawl ordering / seen set / span
+    sequences) is untouched.  The analog of the reference's transient
+    fetch errors behind its RETRIES=3 loops (scrape_eccomerce.py:26,
+    251; entity_analysis.py:13,31)."""
+    if fail_mod <= 0:
+        return True
+    h = int(hashlib.md5(f"flaky:{url}".encode()).hexdigest()[:15], 16)
+    return not (h % fail_mod == 0 and attempt < fail_attempts)

@@ -44,6 +44,8 @@ BNLJ_JUSTIFIED = {
     "semdedup": "N_CELLS(=8)-row codebook broadcast in the assign step",
     "lang_sampling_weights": "1-row weight-total aggregate broadcast",
     "ann_recall_eval": "composes sim_bruteforce_topk + ann_ivf_topk",
+    "ann_pq_topk": "N_QUERIES(=10)-row broadcast distance-table frame (ADC scan)",
+    "ann_pq_recall": "composes sim_bruteforce_topk + ann_pq_topk",
     "corpus_source_mix": "1-row corpus-total aggregate",
     "corpus_len_histogram": "1-row corpus-total aggregate",
 }
