@@ -134,6 +134,7 @@ def run_round(
     fail_mod: int = 0,
     fail_attempts: int = 0,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+    inlink_weight: float = 0.0,
 ) -> RoundResult:
     """Execute crawl round ``round_no``; all outputs are lazy DataFrames.
 
@@ -277,7 +278,8 @@ def run_round(
         rt = retry_rows(fetched, round_no, max_attempts)
         return deferred.unionByName(rt).unionByName(
             frontier_delta(
-                fetched, seen, seen_delta, deferred, round_no=round_no, retries=rt
+                fetched, seen, seen_delta, deferred, round_no=round_no,
+                retries=rt, inlink_weight=inlink_weight,
             )
         )
 
@@ -302,6 +304,7 @@ def frontier_delta(
     *,
     round_no: int,
     retries: DataFrame | None = None,
+    inlink_weight: float = 0.0,
 ) -> DataFrame:
     """W3: new frontier links = canonicalized outlinks of ``fetched``,
     anti-joined against (seen ∪ this round's delta ∪ deferred).
@@ -327,8 +330,25 @@ def frontier_delta(
         .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", host_col(F.col("url")))
         .groupBy("url", "url_hash", "host")
-        .agg((F.min("depth") + 1).alias("depth"))
-        .withColumn("priority", F.col("depth").cast("double"))
+        .agg(
+            (F.min("depth") + 1).alias("depth"),
+            F.count("*").alias("_n_inlinks"),
+        )
+        .withColumn(
+            "priority",
+            # OPIC-style in-degree prioritization, opt-in: a URL linked
+            # from many pages this round outranks same-host siblings of
+            # equal depth inside the politeness budget (priority sorts
+            # ASC in the W2 window).  The in-link count falls out of
+            # the dedup groupBy already being paid — zero extra
+            # shuffle.  Weight 0 (default) keeps priority == depth,
+            # bit-identical to the reference-equality contract.
+            F.col("depth").cast("double")
+            - F.lit(inlink_weight) * F.log2(F.col("_n_inlinks").cast("double"))
+            if inlink_weight
+            else F.col("depth").cast("double"),
+        )
+        .drop("_n_inlinks")
         .withColumn("discovered_round", F.lit(round_no + 1))
         .withColumn("attempt", F.lit(0))
     )

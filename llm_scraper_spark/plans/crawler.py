@@ -125,6 +125,7 @@ class Crawler:
         fail_mod: int = 0,
         fail_attempts: int = 0,
         max_attempts: int = 3,
+        inlink_weight: float = 0.0,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -141,6 +142,10 @@ class Crawler:
         self.fail_mod = fail_mod
         self.fail_attempts = fail_attempts
         self.max_attempts = max_attempts
+        # OPIC-style in-degree frontier prioritization, opt-in (0.0
+        # keeps priority == depth, the reference-equality default):
+        # priority = depth - inlink_weight * log2(in-link count)
+        self.inlink_weight = inlink_weight
         # rewrite the seen set as one base snapshot every N rounds
         # (0/None disables); deltas since the base still union in
         self.compact_every = compact_every
@@ -481,7 +486,7 @@ class Crawler:
             next_frontier = res.deferred.unionByName(retries).unionByName(
                 frontier_delta(
                     snap, seen, snap_delta, res.deferred, round_no=r,
-                    retries=retries,
+                    retries=retries, inlink_weight=self.inlink_weight,
                 )
             )
             # Balanced-files write: without the explicit url_hash

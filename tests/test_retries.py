@@ -128,3 +128,50 @@ def test_transient_ok_model_is_deterministic():
         for a in range(4):
             assert transient_ok(u, a, 7, 2) == (not (_flaky(u, 7) and a < 2))
         assert transient_ok(u, 0, 0, 5)  # disabled model never fails
+
+
+def test_inlink_weight_prioritizes_heavily_linked_urls(spark):
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.operators.frontier import frontier_delta
+
+    fetched = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p1",
+                ["https://a.example/pop", "https://a.example/lone"],
+                0,
+            ),
+            ("https://a.example/p2", ["https://a.example/pop"], 0),
+        ],
+        "doc_id string, outlinks array<string>, depth int",
+    )
+    empty = spark.createDataFrame([], "url_hash long, url string")
+    prio = {
+        r["url"]: r["priority"]
+        for r in frontier_delta(
+            fetched, empty, empty, empty, round_no=0, inlink_weight=0.5
+        ).collect()
+    }
+    # pop has 2 in-links: priority = 1 - 0.5*log2(2) = 0.5 < lone's 1.0
+    assert prio["https://a.example/pop"] == 0.5
+    assert prio["https://a.example/lone"] == 1.0
+    # weight 0 (default) keeps priority == depth exactly
+    prio0 = {
+        r["url"]: r["priority"]
+        for r in frontier_delta(fetched, empty, empty, empty, round_no=0).collect()
+    }
+    assert prio0 == {
+        "https://a.example/pop": 1.0,
+        "https://a.example/lone": 1.0,
+    }
+
+
+def test_inlink_weighted_crawl_runs_and_converges(spark, tmp_path):
+    wd = str(tmp_path / "opic")
+    c = Crawler(spark, wd, budget_ms=4000, inlink_weight=0.5)
+    c.init_state(seed_urls(40), robots_rows())
+    ms = c.run(max_rounds=3)
+    assert len(ms) == 3
+    seen = [m["seen_total"] for m in ms]
+    assert seen == sorted(seen) and seen[-1] > seen[0]
