@@ -375,7 +375,10 @@ def summarize_pairs(
         (
             (p["small_thr"], p["big_thr"])
             for p in pairs
-            if p["eff"] and p["valid"] and not p["ceiling_bound"]
+            if p["eff"]
+            and p["valid"]
+            and not p["ceiling_bound"]
+            and not p["superlinear_suspect"]
         ),
         key=lambda ab: ab[1] / ab[0],
         default=None,
@@ -402,7 +405,11 @@ def summarize_pairs(
         # (2) the median of valid non-suspect pairs, then (3) the raw
         # median.
         rm = out.get(f"ratio_of_maxes_{FAMILIES[0][0]}to{FAMILIES[0][1]}")
-        if rm is not None:
+        # the superlinear sanity bound applies to the fallback too: a
+        # ratio-of-maxes > 1.0 means even the fastest small leg ran
+        # degraded — it is the same artifact the pair guard excludes,
+        # so fall through rather than report it
+        if rm is not None and rm <= 1.0:
             med = rm
             out["estimator_fallback"] = (
                 f"ratio_of_maxes_{FAMILIES[0][0]}to{FAMILIES[0][1]} "
@@ -416,10 +423,15 @@ def summarize_pairs(
                     if p["eff"] and p["valid"] and not p["superlinear_suspect"]
                 ]
             )
-            if med is None:
-                med = _median([p["eff"] for p in pairs if p["eff"]])
             if med is not None:
                 out["estimator_fallback"] = "median of valid non-suspect pairs"
+            else:
+                med = _median([p["eff"] for p in pairs if p["eff"]])
+                if med is not None:
+                    out["estimator_fallback"] = (
+                        "raw median of all pairs (every pair gated; "
+                        "treat as low-confidence)"
+                    )
     out["scaling_efficiency"] = round(med, 3) if med is not None else None
     # disclosed secondary estimator: pool all legs per level, ratio of
     # medians — maximally robust to per-leg weather, but it decouples

@@ -286,9 +286,15 @@ _WS_SQL = f"""
 #: training shards produced by the deterministic global shuffle.
 N_SHARDS = 16
 #: checksum moduli (primes) — fold the 60-bit shuffle keys before the
-#: order-pinning sums so no sum can leave int64 at any corpus size.
+#: order-pinning sums.  Overflow budget: every folded term is < ~10⁹
+#: (P1 for key_sum; P2·P3 ≈ 1.02×10⁹ for pair_sum), so an int64 sum is
+#: safe to ~9×10⁹ rows PER SHARD — 14× the ~6.3×10⁸ rows/shard of the
+#: 10¹⁰-document design point (and shard row counts are uniform by
+#: construction).  DuckDB sums BIGINT into HUGEINT, so within that
+#: budget the twin's ::BIGINT cast is lossless and the engines agree.
 _CK_P1 = 1_000_000_007
 _CK_P2 = 1_000_003
+_CK_P3 = 1_021
 
 
 def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,7 +332,7 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("key").alias("min_key"),
             F.max("key").alias("max_key"),
             F.sum(F.col("key") % _CK_P1).cast("long").alias("key_sum"),
-            F.sum((F.col("key") % _CK_P2) * (F.col("doc_id") % _CK_P2))
+            F.sum((F.col("key") % _CK_P2) * (F.col("doc_id") % _CK_P3))
             .cast("long")
             .alias("pair_sum"),
         )
@@ -348,7 +354,7 @@ ORACLE_SQL = {
                min(key) AS min_key,
                max(key) AS max_key,
                sum(key % {_CK_P1})::BIGINT AS key_sum,
-               sum((key % {_CK_P2}) * (doc_id % {_CK_P2}))::BIGINT AS pair_sum
+               sum((key % {_CK_P2}) * (doc_id % {_CK_P3}))::BIGINT AS pair_sum
         FROM keyed GROUP BY shard ORDER BY shard
     """,
     "para_dedup": f"""

@@ -276,6 +276,7 @@ class Crawler:
         return out
 
     def fetch_log_df(self) -> DataFrame:
+        """Every ATTEMPT, ok or not — this is the log."""
         paths = self._paths("fetch")
         df = self.spark.read.parquet(*paths)
         return df.select(
@@ -286,11 +287,19 @@ class Crawler:
             "url_hash",
             "priority",
             "depth",
+            "attempt",
+            "ok",
         )
 
     def documents_df(self) -> DataFrame:
+        """Only ok rows: a failed attempt yields no page (its snapshot
+        row has blank spans) — same rule as
+        frontier.fetched_projections' documents view."""
         paths = self._paths("fetch")
-        return self.spark.read.parquet(*paths).select("doc_id", "spans", "round")
+        snap = self.spark.read.parquet(*paths)
+        if "ok" in snap.columns:
+            snap = snap.filter(F.col("ok"))
+        return snap.select("doc_id", "spans", "round")
 
     def raw_html_df(self) -> DataFrame:
         """S6 dump table: page source re-rendered from the persisted
@@ -456,6 +465,7 @@ class Crawler:
                 fail_mod=self.fail_mod,
                 fail_attempts=self.fail_attempts,
                 max_attempts=self.max_attempts,
+                inlink_weight=self.inlink_weight,
             )
             _mark("plan")
             # ONE fetched-superset write runs the whole round pipeline;

@@ -54,6 +54,7 @@ FRONTIER = T.StructType(
         T.StructField("priority", T.DoubleType()),   # lower = sooner (depth-derived)
         T.StructField("depth", T.IntegerType()),
         T.StructField("discovered_round", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),   # bounded-retry counter
     ]
 )
 
@@ -82,6 +83,8 @@ FETCH_LOG = T.StructType(
         T.StructField("url_hash", T.LongType()),
         T.StructField("priority", T.DoubleType()),
         T.StructField("depth", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),   # bounded-retry counter
+        T.StructField("ok", T.BooleanType()),        # fetch outcome
     ]
 )
 

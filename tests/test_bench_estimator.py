@@ -164,3 +164,24 @@ def test_superlinear_guard_does_not_touch_clean_epochs():
     assert out["n_pairs_excluded_superlinear"] == 0
     assert "estimator_fallback" not in out
     assert out["scaling_efficiency"] == 0.85
+
+
+def test_speedup_and_fallback_respect_superlinear_guard():
+    # the suspect pair must not drive the speedup either
+    pairs = [
+        mkpair(1, 4, 3859, 15586),   # 1.01 -> suspect
+        mkpair(1, 4, 4571, 16005, 1.2),  # clock-mismatched
+    ]
+    out = summarize(pairs, ceiling=50000.0)
+    assert out["pairs"][0]["superlinear_suspect"]
+    assert out["speedup"] is None  # no usable pair left
+    # ratio_of_maxes fallback > 1.0 is the same artifact: fall through
+    pairs2 = [
+        mkpair(1, 4, 3000, 15000),   # 1.25 -> suspect
+        mkpair(1, 4, 3100, 15100, 1.2),  # clock-mismatched (1.218)
+    ]
+    out2 = summarize(pairs2, ceiling=50000.0)
+    assert out2["ratio_of_maxes_1to4"] > 1.0
+    assert not out2["estimator_fallback"].startswith("ratio_of_maxes")
+    # ... and the disclosure names the raw-median branch honestly
+    assert out2["estimator_fallback"].startswith("raw median")

@@ -255,7 +255,7 @@ def _py_shuffle_summary():
     import hashlib
 
     t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
-    P1, P2 = packing._CK_P1, packing._CK_P2
+    P1, P2, P3 = packing._CK_P1, packing._CK_P2, packing._CK_P3
     agg = {}
     for did, nc in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
         key = int(hashlib.md5(f"shuf:{did}".encode()).hexdigest()[:15], 16)
@@ -266,7 +266,7 @@ def _py_shuffle_summary():
         a[2] = key if a[2] is None else min(a[2], key)
         a[3] = key if a[3] is None else max(a[3], key)
         a[4] += key % P1
-        a[5] += (key % P2) * (did % P2)
+        a[5] += (key % P2) * (did % P3)
     return agg
 
 

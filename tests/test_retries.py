@@ -175,3 +175,19 @@ def test_inlink_weighted_crawl_runs_and_converges(spark, tmp_path):
     assert len(ms) == 3
     seen = [m["seen_total"] for m in ms]
     assert seen == sorted(seen) and seen[-1] > seen[0]
+
+
+def test_documents_df_excludes_failed_attempts(spark, tmp_path):
+    wd = str(tmp_path / "docsok")
+    c = Crawler(
+        spark, wd, budget_ms=4000, fail_mod=4, fail_attempts=1, max_attempts=3
+    )
+    c.init_state(seed_urls(40), robots_rows())
+    c.run(max_rounds=3)
+    docs = c.documents_df().collect()
+    assert docs
+    # no ghost documents: every row comes from an ok fetch, so no
+    # doc_id repeats and no empty span list appears
+    ids = [r["doc_id"] for r in docs]
+    assert len(ids) == len(set(ids))
+    assert all(len(r["spans"]) > 0 for r in docs)
