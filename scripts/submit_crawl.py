@@ -46,6 +46,13 @@ def main() -> None:
                     help="python fetch-worker parallelism; default: "
                          "spark.default.parallelism")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--max-attempts", type=int, default=3,
+                    help="bounded-retry cap: failed fetches re-enter the "
+                         "frontier until this many attempts, then resolve "
+                         "as gave-up")
+    ap.add_argument("--inlink-weight", type=float, default=0.0,
+                    help="OPIC-style in-degree priority weight "
+                         "(0 = reference FIFO order)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions "
                          "(default: leave the submit-provided value)")
@@ -78,6 +85,8 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         use_bloom=not args.no_bloom,
         fetch_partitions=args.fetch_partitions,
+        max_attempts=args.max_attempts,
+        inlink_weight=args.inlink_weight,
     )
     crawler.init_state(seed_list, bench_robots_rows())
     manifests = crawler.run(max_rounds=args.rounds)
