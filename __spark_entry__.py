@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from llm_scraper_spark.operators import (
     curation,
     dedup,
+    frontier_hygiene,
     graph,
     htmldump,
     htmltables,
@@ -49,6 +50,7 @@ _MODULES = (
     reference_parity,
     spans,
     dedup,
+    frontier_hygiene,
     similarity,
     pq,
     textstats,

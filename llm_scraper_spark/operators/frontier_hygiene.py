@@ -1,0 +1,331 @@
+"""Frontier hygiene at crawl scale: trap detection, sitemap expansion,
+robots gating as a checkable summary.
+
+Three crawl-frontier operators a 10^10-URL crawler needs that the
+reference handles implicitly (or not at all):
+
+* **URL trap detection** — the reference crawls a curated seed list
+  (``server/scripts/scrape_eccomerce.py:240-260`` walks a fixed
+  category tree) so it never meets calendar pages, session-id loops or
+  self-linking path cycles; an open-web frontier does, and an uncaught
+  trap family can eat an arbitrary share of the politeness budget.
+  ``url_trap_flags`` classifies every candidate URL with four row-local
+  rules (path depth, repeated path segment, query-parameter count,
+  session-id parameter) parsed back out of the URL string itself —
+  pure JVM regexp/array expressions inside whole-stage codegen, zero
+  shuffle, so the filter costs one scan at any corpus size.
+
+* **Sitemap frontier expansion** — the scale analog of the reference's
+  per-page ``<a href>`` harvest (``extract_product_urls.py:30-41``):
+  parse ``<loc>`` entries out of sitemap XML, dedup the candidates
+  corpus-wide (same page listed by many sitemaps), and anti-join the
+  survivors against the already-crawled set before they enter the
+  frontier.  The dedup groups and the anti-join key on the URL string;
+  text never fans out.
+
+* **Robots gate summary** — the crawl path gates fetches on a
+  broadcast robots join (``operators/frontier.py``), which is
+  pytest-covered but had no driver-checkable key.  Here the same shape
+  (bounded per-host rule table, broadcast, prefix gate on the parsed
+  first path segment) is exposed as a per-host allowed/blocked report.
+  The rule table is bounded by the number of distinct hosts — a dim,
+  not a corpus-scaling side — so the broadcast is correct at 100 TB.
+
+All inputs are synthesized deterministically from ``documents`` with
+integer arithmetic (the same CTE in each DuckDB twin), per the repo's
+no-external-data discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# trap thresholds — shared constants quoted into both engines' SQL so
+# the twins cannot drift
+MAX_DEPTH = 6  # path segments before a URL is "too deep" (IRLbot-style)
+MAX_PARAMS = 3  # query parameters before a URL is trap-suspect
+SESSION_MARK = "sid="  # session-id parameter marker
+
+#: page-id space for the synthetic sitemap universe — smaller than the
+#: candidate count so cross-sitemap duplicates actually occur
+PAGE_SPACE = 600
+
+_PATH_RE = r"^https://[^/]+(/[^?]*)"
+_QUERY_RE = r"\?(.*)$"
+_HOST_RE = r"^https://([^/]+)/"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _frontier_url() -> "F.Column":
+    """Deterministic messy-URL column over ``documents``: host bucket,
+    ``doc_id``-driven path depth / segment values / query params, a
+    session-id parameter on every 11th doc.  Segment ``i`` is
+    ``p((doc_id*i) % 7)`` — so docs with ``doc_id % 7 == 0`` repeat one
+    segment the whole way down (a self-link loop), and any path deeper
+    than 7 segments repeats by pigeonhole: two natural trap families."""
+    depth = F.col("doc_id") % 9 + 1
+    segs = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda i: F.concat(F.lit("p"), ((F.col("doc_id") * i) % 7).cast("string")),
+    )
+    nq = F.col("doc_id") % 5
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's range(1, 1)
+    # is empty) — guard the zero-param case explicitly
+    params = F.when(nq == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nq),
+            lambda j: F.concat(F.lit("k"), j.cast("string"), F.lit("=v")),
+        )
+    )
+    params = F.when(F.col("doc_id") % 11 == 0, F.concat(params, F.array(F.lit("sid=deadbeef")))).otherwise(params)
+    host = F.concat(
+        F.lit("s"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/"),
+        F.array_join(segs, "/"),
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit("")),
+    )
+
+
+#: the frontier construction as a DuckDB CTE, kept in lockstep with
+#: ``_frontier_url`` (the twin-drift guard is the gate itself)
+_FRONTIER_CTE = """
+        frontier AS (
+          SELECT doc_id,
+                 'https://s' || CAST(doc_id % 20 AS VARCHAR) || '.' || source ||
+                 '.example.com' || '/' ||
+                 array_to_string(
+                   list_transform(range(1, CAST(doc_id % 9 AS INT) + 2),
+                                  i -> 'p' || CAST((doc_id * i) % 7 AS VARCHAR)),
+                   '/') ||
+                 CASE WHEN (doc_id % 5) + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) > 0
+                      THEN '?' || array_to_string(
+                        CASE WHEN doc_id % 11 = 0
+                             THEN list_append(
+                               list_transform(range(1, CAST(doc_id % 5 AS INT) + 1),
+                                              j -> 'k' || CAST(j AS VARCHAR) || '=v'),
+                               'sid=deadbeef')
+                             ELSE list_transform(range(1, CAST(doc_id % 5 AS INT) + 1),
+                                                 j -> 'k' || CAST(j AS VARCHAR) || '=v')
+                        END, '&')
+                      ELSE '' END AS url
+          FROM documents
+        )
+"""
+
+
+def url_trap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local crawler-trap classification of every frontier URL.
+
+    The four rules are computed from the URL *string* (host/path/query
+    re-parsed with the same regexps the crawl path uses), not from the
+    generator's parameters — the detector has to work on URLs it did
+    not mint.  All flags are JVM expressions; at 100 TB this is one
+    codegen'd scan with the final sort belonging to the gate, not the
+    operator."""
+    docs = _docs(spark, sf_dir)
+    url = _frontier_url()
+    d = docs.select("doc_id", url.alias("url"))
+    path = F.regexp_extract(F.col("url"), _PATH_RE, 1)
+    query = F.regexp_extract(F.col("url"), _QUERY_RE, 1)
+    segs = F.split(F.regexp_replace(path, r"^/", ""), "/")
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    d = d.select(
+        "doc_id",
+        "url",
+        (F.size(segs) > MAX_DEPTH).cast("long").alias("trap_deep"),
+        (F.size(segs) != F.size(F.array_distinct(segs)))
+        .cast("long")
+        .alias("trap_repeat"),
+        (F.size(params) > MAX_PARAMS).cast("long").alias("trap_params"),
+        F.col("url").contains(SESSION_MARK).cast("long").alias("trap_session"),
+    )
+    return d.withColumn(
+        "is_trap",
+        (
+            (F.col("trap_deep") + F.col("trap_repeat") + F.col("trap_params") + F.col("trap_session"))
+            > 0
+        ).cast("long"),
+    ).orderBy("doc_id")
+
+
+def sitemap_frontier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML → deduped, seen-filtered frontier candidates.
+
+    Each document contributes a 3-entry ``<urlset>`` whose page ids
+    land in a space smaller than the candidate count, so the same page
+    URL is listed by many sitemaps; the dedup groupBy and the
+    anti-join against the crawled set both key on the URL string —
+    the XML text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: F.concat(
+            F.lit("<url><loc>https://www.example.com/page/"),
+            ((F.col("doc_id") * 2 + j) % PAGE_SPACE).cast("string"),
+            F.lit("</loc></url>"),
+        ),
+    )
+    xml = F.concat(F.lit("<urlset>"), F.array_join(entries, ""), F.lit("</urlset>"))
+    cand = (
+        docs.select("doc_id", xml.alias("xml"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("xml"), F.lit(r"<loc>([^<]*)</loc>"), 1)
+            ).alias("url"),
+        )
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count("*").cast("long").alias("n_listings"),
+        )
+    )
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("https://www.example.com/page/"),
+                (F.col("doc_id") % PAGE_SPACE).cast("string"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return cand.join(seen, "url", "left_anti").orderBy("url")
+
+
+def robots_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots allow/block report over the synthetic frontier.
+
+    The rule table is one row per distinct host (bounded — a dim), so
+    ``broadcast`` is the correct join strategy at any corpus size; the
+    gate compares the parsed first path segment against the host's
+    disallowed segment, the same prefix discipline as the crawl path's
+    robots join (operators/frontier.py)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", _frontier_url().alias("url"))
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    first_seg = F.element_at(
+        F.split(
+            F.regexp_replace(F.regexp_extract(F.col("url"), _PATH_RE, 1), r"^/", ""),
+            "/",
+        ),
+        1,
+    )
+    fr = d.select(host.alias("host"), first_seg.alias("first_seg"))
+    rules = (
+        fr.select("host")
+        .distinct()
+        .withColumn(
+            "deny_seg",
+            F.concat(
+                F.lit("p"),
+                (F.regexp_extract(F.col("host"), r"^s(\d+)\.", 1).cast("long") % 7).cast(
+                    "string"
+                ),
+            ),
+        )
+    )
+    gated = fr.join(F.broadcast(rules), "host")
+    return (
+        gated.groupBy("host")
+        .agg(
+            F.sum((F.col("first_seg") != F.col("deny_seg")).cast("long")).alias(
+                "n_allowed"
+            ),
+            F.sum((F.col("first_seg") == F.col("deny_seg")).cast("long")).alias(
+                "n_blocked"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_SQL = {
+    "url_trap_flags": f"""
+        WITH {_FRONTIER_CTE},
+        parsed AS (
+          SELECT doc_id, url,
+                 string_split(ltrim(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1), '/'), '/') AS segs,
+                 regexp_extract(url, '\\?(.*)$', 1) AS q
+          FROM frontier
+        )
+        SELECT doc_id, url,
+               CAST(CASE WHEN len(segs) > {MAX_DEPTH} THEN 1 ELSE 0 END AS BIGINT) AS trap_deep,
+               CAST(CASE WHEN len(segs) <> len(list_distinct(segs)) THEN 1 ELSE 0 END AS BIGINT) AS trap_repeat,
+               CAST(CASE WHEN q <> '' AND len(string_split(q, '&')) > {MAX_PARAMS} THEN 1 ELSE 0 END AS BIGINT) AS trap_params,
+               CAST(CASE WHEN contains(url, '{SESSION_MARK}') THEN 1 ELSE 0 END AS BIGINT) AS trap_session,
+               CAST(CASE WHEN len(segs) > {MAX_DEPTH}
+                          OR len(segs) <> len(list_distinct(segs))
+                          OR (q <> '' AND len(string_split(q, '&')) > {MAX_PARAMS})
+                          OR contains(url, '{SESSION_MARK}')
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        FROM parsed ORDER BY doc_id
+    """,
+    "sitemap_frontier_extract": f"""
+        WITH sitemaps AS (
+          SELECT doc_id,
+                 '<urlset>' || array_to_string(
+                   list_transform(range(0, 3),
+                     j -> '<url><loc>https://www.example.com/page/' ||
+                          CAST((doc_id * 2 + j) % {PAGE_SPACE} AS VARCHAR) ||
+                          '</loc></url>'),
+                   '') || '</urlset>' AS xml
+          FROM documents
+        ),
+        cand AS (
+          SELECT url, min(doc_id) AS first_doc,
+                 CAST(count(*) AS BIGINT) AS n_listings
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url
+            FROM sitemaps
+          ) GROUP BY url
+        ),
+        seen AS (
+          SELECT DISTINCT 'https://www.example.com/page/' ||
+                 CAST(doc_id % {PAGE_SPACE} AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT c.url, c.first_doc, c.n_listings
+        FROM cand c ANTI JOIN seen s ON c.url = s.url
+        ORDER BY c.url
+    """,
+    "robots_gate_summary": f"""
+        WITH {_FRONTIER_CTE},
+        fr AS (
+          SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                 (string_split(ltrim(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1), '/'), '/'))[1] AS first_seg
+          FROM frontier
+        ),
+        rules AS (
+          SELECT host,
+                 'p' || CAST(CAST(regexp_extract(host, '^s(\\d+)\\.', 1) AS BIGINT) % 7 AS VARCHAR) AS deny_seg
+          FROM (SELECT DISTINCT host FROM fr)
+        )
+        SELECT f.host,
+               CAST(sum(CASE WHEN f.first_seg <> r.deny_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+               CAST(sum(CASE WHEN f.first_seg = r.deny_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        FROM fr f JOIN rules r ON f.host = r.host
+        GROUP BY f.host ORDER BY f.host
+    """,
+}
+
+QUERIES = {
+    "url_trap_flags": url_trap_flags,
+    "sitemap_frontier_extract": sitemap_frontier_extract,
+    "robots_gate_summary": robots_gate_summary,
+}
