@@ -14,12 +14,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from llm_scraper_spark.operators import (
+    crawlsched,
     curation,
     dedup,
     frontier_hygiene,
     graph,
     htmldump,
     htmltables,
+    imagededup,
     multimodal,
     packing,
     pq,
@@ -51,6 +53,7 @@ _MODULES = (
     spans,
     dedup,
     frontier_hygiene,
+    crawlsched,
     similarity,
     pq,
     textstats,
@@ -60,6 +63,7 @@ _MODULES = (
     packing,
     graph,
     multimodal,
+    imagededup,
     htmltables,
     htmldump,
     streaming_jobs,

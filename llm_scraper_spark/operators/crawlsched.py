@@ -1,0 +1,453 @@
+"""Crawl-scheduler analytics: DUST rule mining, HITS link analysis,
+change-rate-driven recrawl scheduling.
+
+Three operators a 10^10-URL frontier needs that the reference's
+fixed-seed loop (server/scripts/scrape_eccomerce.py:240-260 walks a
+curated category tree; extract_product_urls.py:30-41 re-fetches
+whatever URL string it sees) never has to solve:
+
+* **DUST rule mining** (`dust_rules`) — "Different URLs, Similar Text"
+  (Bar-Yossef et al., WWW'07): an open crawl meets the same page under
+  many spellings (``…/`` vs ``…/index.html``, http vs https, session
+  params).  Canonicalizing them BEFORE the fetch is worth a large
+  fraction of the politeness budget.  Rules are mined from evidence
+  the crawl already has: pairs of distinct URLs whose fetched content
+  fingerprint is identical.  For each pair, the longest common
+  prefix/suffix split yields a substitution rule (α → β); rules are
+  aggregated corpus-wide and kept at ``support ≥ MIN_SUPPORT`` (one-off
+  middles — e.g. two unrelated pages with colliding text — die there,
+  exactly the paper's noise filter).  Scale shape: URLs join on a
+  16-byte content key, content groups are capped at ``MAX_ALIASES``
+  (the boilerplate-page guard — same discipline as dedup.MAX_BUCKET),
+  and the per-pair lcp/lcs is row-local codegen over ~60-char strings.
+
+* **HITS hubs/authorities** (`hits_topk`) — the second classic
+  crawl-priority signal next to PageRank (`graph.link_pagerank`): a
+  good *hub* page is worth fetching because its outlinks are good.
+  Fixed-point integers with per-iteration max-rescaling (x·SCALE div
+  max(x)) instead of an L2 norm — order-independent, overflow-bounded
+  (scores ≤ SCALE, sums ≤ in-degree·SCALE), and bit-identical in both
+  engines.  Per iteration: two O(edges) equi-join + sum passes and two
+  1-row max aggregates; score state never on the driver.  The
+  deterministic ``vid div 2`` edge map is 2-to-1, so in-degrees vary
+  and the fixpoint is non-trivial (a bijective map would make HITS
+  uniform).
+
+* **Recrawl scheduling** (`recrawl_schedule`) — Cho & Garcia-Molina's
+  freshness result: revisit frequency should track each page's
+  observed change rate.  Over a revisit log (events: one row per
+  observation, ``event_type <> 'view'`` = "page changed since last
+  visit"), estimate the change rate per URL and derive the next fetch
+  slot: ``interval = BASE_H·(n_obs+1) div (n_changes+1)`` clamped to
+  [1 h, MAX_H] — the linearized (division-free-log) form of the
+  Poisson estimator, integer-exact in both engines.  One groupBy over
+  the log; output is one row per URL.
+
+All synthetic inputs derive from ``documents``/``events`` with integer
+arithmetic mirrored in the DuckDB twins (no external data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ DUST
+MAX_ALIASES = 16   # content-group cap: a boilerplate page shared by
+                   # millions of URLs must not go quadratic in the pair join
+MIN_SUPPORT = 3    # rules seen fewer times are pair noise, not rules
+N_SITES = 20       # synthetic host buckets
+
+# ------------------------------------------------------------------ HITS
+HITS_SCALE = 1_000_000
+HITS_ITERS = 3
+HITS_FANOUT = 4
+
+# --------------------------------------------------------------- recrawl
+RC_SCALE = 1_000_000   # change-rate fixed-point denominator
+RC_BASE_H = 24         # a never-changing page starts at ~daily revisit
+RC_MAX_H = 672         # never schedule further out than 4 weeks
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- dust
+#: canonical URL + the three alias families the miner should learn:
+#: trailing index.html, http-for-https, a session-id query parameter
+_CANON = (
+    "concat('https://site', cast(doc_id % {n} as string),"
+    " '.example.com/page/', cast(doc_id as string), '/')"
+).format(n=N_SITES)
+
+_ALIAS_SQL = [
+    # (predicate on doc_id, url expression)
+    ("true", _CANON),
+    ("doc_id % 3 = 0", f"concat({_CANON}, 'index.html')"),
+    ("doc_id % 4 = 0", f"replace({_CANON}, 'https://', 'http://')"),
+    ("doc_id % 5 = 0", f"concat({_CANON}, '?sid=abc123')"),
+]
+
+
+def _alias_urls(docs: DataFrame) -> DataFrame:
+    """(ckey, url): every spelling of every page, keyed by the 16-byte
+    content fingerprint the crawl's fetch output already carries."""
+    parts = [
+        docs.filter(F.expr(pred)).selectExpr(
+            "md5(text) AS ckey", f"{url} AS url"
+        )
+        for pred, url in _ALIAS_SQL
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (alpha → beta) URL substitution rules from same-content URL
+    pairs; keep rules with support ≥ MIN_SUPPORT.
+
+    The pair join is bounded: content groups capped at MAX_ALIASES
+    (window count on the 16-byte join key — no extra shuffle beyond
+    the group-by the join needs anyway), and the lcp/lcs middle
+    extraction is a row-local ``aggregate(sequence(...))`` over the
+    two URL strings (prefix equality is monotone, so the count of
+    equal prefixes IS the lcp) — O(L²) char compares on ~60-char URLs,
+    all inside whole-stage codegen."""
+    from pyspark.sql import Window
+
+    urls = _alias_urls(_docs(spark, sf_dir))
+    urls = urls.withColumn(
+        "gsz", F.count("*").over(Window.partitionBy("ckey"))
+    ).filter(F.col("gsz") <= MAX_ALIASES)
+    pairs = (
+        urls.alias("x")
+        .join(urls.alias("y"), F.expr("x.ckey = y.ckey AND x.url < y.url"))
+        .selectExpr("x.url AS ua", "y.url AS ub")
+    )
+    mid = pairs.selectExpr(
+        "ua",
+        "ub",
+        "length(ua) AS la",
+        "length(ub) AS lb",
+        "least(length(ua), length(ub)) AS m",
+    ).selectExpr(
+        "ua",
+        "ub",
+        "la",
+        "lb",
+        "aggregate(sequence(1, m), 0L,"
+        " (acc, i) -> acc + if(substr(ua, 1, i) = substr(ub, 1, i), 1L, 0L))"
+        " AS lcp",
+        "aggregate(sequence(1, m), 0L,"
+        " (acc, i) -> acc + if(substr(ua, la - i + 1, i)"
+        "                    = substr(ub, lb - i + 1, i), 1L, 0L))"
+        " AS lcs_raw",
+        "m",
+    ).selectExpr(
+        "ua", "ub", "la", "lb", "lcp",
+        # prefix and suffix may not overlap (…/a/ vs …/a/a/ shares more
+        # than the string length in prefix+suffix terms)
+        "least(lcs_raw, m - lcp) AS lcs",
+    )
+    return (
+        mid.selectExpr(
+            "substr(ua, cast(lcp + 1 as int), cast(la - lcp - lcs as int))"
+            " AS alpha",
+            "substr(ub, cast(lcp + 1 as int), cast(lb - lcp - lcs as int))"
+            " AS beta",
+        )
+        .groupBy("alpha", "beta")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+        .orderBy(F.desc("support"), "alpha", "beta")
+    )
+
+
+# ---------------------------------------------------------------- hits
+def hits_scores(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Hub/authority fixed point over the deterministic 2-to-1 link
+    graph (dst = (vid div 2 + 17·j) mod n, j = 1..HITS_FANOUT).  The
+    kernel consumes any (src, dst) edge table — the synthetic map only
+    constructs test edges, exactly as in graph.link_pagerank.
+
+    Lineage discipline: the rescale step reads each raw vector TWICE
+    (once for the values, once for the 1-row max), so the logical plan
+    doubles per branch and compounds to 2^(2·iters) leaves — lazy
+    persists do NOT cap the *planner* cost, and Catalyst/AQE choked on
+    the tree (minutes of treeString/codegen at sf0.001, measured).
+    Each per-iteration raw vector is therefore **eagerly
+    localCheckpoint-ed** — one 16-byte row per vertex, tiny at any
+    scale — which truncates lineage to constant depth, exactly the
+    discipline `dedup.dedup_clusters` uses for its iterative closure
+    (recompute-on-executor-loss is acceptable for derived state that
+    one O(edges) pass rebuilds).  `edges`/`idx` are persisted once
+    because every iteration re-reads them."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("vid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = idx.count()  # scalar graph size — bounded driver value
+    if n == 0:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("auth_units"),
+            F.lit(0).cast("long").alias("hub_units"),
+        ).limit(0)
+    edges = idx.select(
+        F.col("vid").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.expr("vid div 2") + F.lit(17 * j)) % n
+                    for j in range(1, HITS_FANOUT + 1)
+                ]
+            )
+        ).alias("dst"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hub = idx.select("vid", F.lit(HITS_SCALE).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub, edges.src == hub.vid)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("r"))
+        )
+        a_raw = idx.select("vid").join(
+            a_raw, idx.vid == a_raw.dst, "left"
+        ).select(
+            "vid", F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        amax = a_raw.agg(F.greatest(F.max("r"), F.lit(1)).alias("mx"))
+        auth = a_raw.crossJoin(F.broadcast(amax)).selectExpr(
+            "vid", f"r * {HITS_SCALE}L div mx AS a"
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.vid)
+            .groupBy("src")
+            .agg(F.sum("a").alias("r"))
+        )
+        h_raw = idx.select("vid").join(
+            h_raw, idx.vid == h_raw.src, "left"
+        ).select(
+            "vid", F.coalesce(F.col("r"), F.lit(0)).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        hmax = h_raw.agg(F.greatest(F.max("r"), F.lit(1)).alias("mx"))
+        hub = h_raw.crossJoin(F.broadcast(hmax)).selectExpr(
+            "vid", f"r * {HITS_SCALE}L div mx AS h"
+        )
+    return (
+        idx.join(auth, "vid")
+        .join(hub, "vid")
+        .select(
+            "doc_id",
+            F.col("a").alias("auth_units"),
+            F.col("h").alias("hub_units"),
+        )
+    )
+
+
+def hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: top-20 authorities (fetch-priority signal),
+    deterministic tie-break on doc_id."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        hits_scores(docs)
+        .orderBy(F.desc("auth_units"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- recrawl
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL revisit schedule from the observation log: change rate
+    (fixed-point), next revisit interval, absolute next-fetch epoch.
+    One groupBy over the log — O(observations) shuffle of 8-byte keys,
+    output one row per URL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.selectExpr(
+            "user_id AS url_id",
+            "if(event_type <> 'view', 1L, 0L) AS changed",
+            "unix_timestamp(ts) AS epoch_s",
+        )
+        .groupBy("url_id")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("changed").cast("long").alias("n_changes"),
+            F.max("epoch_s").cast("long").alias("last_seen_epoch"),
+        )
+        .selectExpr(
+            "url_id",
+            "n_obs",
+            "n_changes",
+            "last_seen_epoch",
+            f"n_changes * {RC_SCALE}L div n_obs AS change_rate_units",
+            f"least({RC_MAX_H}L, greatest(1L,"
+            f" {RC_BASE_H}L * (n_obs + 1) div (n_changes + 1)))"
+            " AS next_interval_h",
+        )
+        .selectExpr(
+            "url_id",
+            "n_obs",
+            "n_changes",
+            "change_rate_units",
+            "next_interval_h",
+            "last_seen_epoch + next_interval_h * 3600 AS next_fetch_epoch",
+        )
+        .orderBy("url_id")
+    )
+
+
+# ------------------------------------------------------------ DuckDB twins
+_CANON_DUCK = (
+    f"('https://site' || (doc_id % {N_SITES}) || '.example.com/page/'"
+    " || doc_id || '/')"
+)
+
+_URLS_DUCK = f"""
+  urls_all AS (
+    SELECT md5(text) AS ckey, {_CANON_DUCK} AS url FROM documents
+    UNION ALL
+    SELECT md5(text), {_CANON_DUCK} || 'index.html'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT md5(text), replace({_CANON_DUCK}, 'https://', 'http://')
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT md5(text), {_CANON_DUCK} || '?sid=abc123'
+    FROM documents WHERE doc_id % 5 = 0
+  ),
+  urls AS (
+    SELECT ckey, url FROM (
+      SELECT *, count(*) OVER (PARTITION BY ckey) AS gsz FROM urls_all
+    ) WHERE gsz <= {MAX_ALIASES}
+  )
+"""
+
+
+def _hits_iter_duck(t: int) -> str:
+    """One unrolled HITS iteration (auth then hub) as DuckDB CTEs.
+
+    The ``*_raw`` CTEs are MATERIALIZED: each is referenced twice (the
+    rescale reads it in FROM *and* in the scalar max subquery), and
+    DuckDB's default inlining would recompute the whole upstream chain
+    per reference — 2 references per level compounds to 2^(2·iters)
+    base scans (measured: 28 s at sf0.01 inlined, <1 s materialized)."""
+    return f"""
+        a{t}_raw AS MATERIALIZED (
+          SELECT i.vid, CAST(coalesce(s.r, 0) AS BIGINT) AS r
+          FROM idx i LEFT JOIN (
+            SELECT e.dst AS vid, sum(h.h) AS r
+            FROM e JOIN h{t - 1} h ON e.src = h.vid GROUP BY e.dst
+          ) s ON i.vid = s.vid),
+        a{t} AS (
+          SELECT vid, r * {HITS_SCALE} //
+                 greatest((SELECT max(r) FROM a{t}_raw), 1) AS a
+          FROM a{t}_raw),
+        h{t}_raw AS MATERIALIZED (
+          SELECT i.vid, CAST(coalesce(s.r, 0) AS BIGINT) AS r
+          FROM idx i LEFT JOIN (
+            SELECT e.src AS vid, sum(a.a) AS r
+            FROM e JOIN a{t} a ON e.dst = a.vid GROUP BY e.src
+          ) s ON i.vid = s.vid),
+        h{t} AS (
+          SELECT vid, r * {HITS_SCALE} //
+                 greatest((SELECT max(r) FROM h{t}_raw), 1) AS h
+          FROM h{t}_raw)"""
+
+
+ORACLE_SQL = {
+    "dust_rules": f"""
+        WITH {_URLS_DUCK},
+        pairs AS (
+          SELECT x.url AS ua, y.url AS ub
+          FROM urls x JOIN urls y
+            ON x.ckey = y.ckey AND x.url < y.url
+        ),
+        mid1 AS (
+          SELECT ua, ub, length(ua) AS la, length(ub) AS lb,
+                 least(length(ua), length(ub)) AS m
+          FROM pairs
+        ),
+        mid2 AS (
+          SELECT ua, ub, la, lb,
+                 list_sum(list_transform(range(1, m + 1), i ->
+                   CASE WHEN substr(ua, 1, i) = substr(ub, 1, i)
+                        THEN 1 ELSE 0 END)) AS lcp,
+                 list_sum(list_transform(range(1, m + 1), i ->
+                   CASE WHEN substr(ua, la - i + 1, i)
+                           = substr(ub, lb - i + 1, i)
+                        THEN 1 ELSE 0 END)) AS lcs_raw,
+                 m
+          FROM mid1
+        ),
+        mid3 AS (
+          SELECT ua, ub, la, lb, lcp,
+                 least(lcs_raw, m - lcp) AS lcs
+          FROM mid2
+        )
+        SELECT substr(ua, CAST(lcp + 1 AS INT), CAST(la - lcp - lcs AS INT))
+                 AS alpha,
+               substr(ub, CAST(lcp + 1 AS INT), CAST(lb - lcp - lcs AS INT))
+                 AS beta,
+               CAST(count(*) AS BIGINT) AS support
+        FROM mid3
+        GROUP BY alpha, beta
+        HAVING count(*) >= {MIN_SUPPORT}
+        ORDER BY support DESC, alpha, beta
+    """,
+    "hits_topk": f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vid
+          FROM documents),
+        e AS (
+          SELECT vid AS src,
+                 ((vid // 2) + 17 * j) % (SELECT n FROM nn) AS dst
+          FROM idx CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(1, HITS_FANOUT + 1))}) AS t(j)),
+        h0 AS (SELECT vid, CAST({HITS_SCALE} AS BIGINT) AS h FROM idx),
+        {",".join(_hits_iter_duck(t) for t in range(1, HITS_ITERS + 1))}
+        SELECT idx.doc_id,
+               CAST(a{HITS_ITERS}.a AS BIGINT) AS auth_units,
+               CAST(h{HITS_ITERS}.h AS BIGINT) AS hub_units
+        FROM idx
+        JOIN a{HITS_ITERS} ON idx.vid = a{HITS_ITERS}.vid
+        JOIN h{HITS_ITERS} ON idx.vid = h{HITS_ITERS}.vid
+        ORDER BY auth_units DESC, doc_id LIMIT 20
+    """,
+    "recrawl_schedule": f"""
+        WITH agg AS (
+          SELECT user_id AS url_id,
+                 CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_changes,
+                 CAST(max(floor(epoch(ts))) AS BIGINT) AS last_seen_epoch
+          FROM events GROUP BY user_id
+        )
+        SELECT url_id, n_obs, n_changes,
+               n_changes * {RC_SCALE} // n_obs AS change_rate_units,
+               least({RC_MAX_H}, greatest(1,
+                 {RC_BASE_H} * (n_obs + 1) // (n_changes + 1)))
+                 AS next_interval_h,
+               last_seen_epoch
+                 + least({RC_MAX_H}, greatest(1,
+                     {RC_BASE_H} * (n_obs + 1) // (n_changes + 1))) * 3600
+                 AS next_fetch_epoch
+        FROM agg ORDER BY url_id
+    """,
+}
+
+QUERIES = {
+    "dust_rules": dust_rules,
+    "hits_topk": hits_topk,
+    "recrawl_schedule": recrawl_schedule,
+}

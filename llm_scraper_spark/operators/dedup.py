@@ -494,9 +494,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_col(spark, sf_dir).orderBy("doc_id")
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4×15-bit band bucket join, then hamming
-    ≤ HAMMING_MAX verification via bit_count(xor).
+def banded_hamming_pairs(sig: DataFrame) -> DataFrame:
+    """Shared 60-bit banded-Hamming pair join over any signature table
+    ``(doc_id, simhash)`` — 4×15-bit band bucket join, then hamming
+    ≤ HAMMING_MAX verification via bit_count(xor).  Used by the text
+    path (``dedup_simhash_pairs``) and the image path
+    (operators/imagededup.py) — one join plan, two signature sources.
 
     A pair sharing k band buckets comes out of the banded self-join k
     times; instead of a multi-million-row ``distinct()`` shuffle, each
@@ -514,7 +517,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin expresses with DISTINCT over capped bands)."""
     from pyspark.sql import Window
 
-    sig = _simhash_col(spark, sf_dir)
     # one posexplode over the 4 derived keys replaces the 4-branch
     # union (band = pos), and every expression is a single parsed SQL
     # string (the py4j round-trip lesson — see _minhash_pairs)
@@ -576,6 +578,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"hamming <= {HAMMING_MAX}"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the text corpus — the shared banded
+    join (``banded_hamming_pairs``) over the token-majority signature."""
+    return banded_hamming_pairs(_simhash_col(spark, sf_dir))
 
 
 # --------------------------------------------------- connected components
