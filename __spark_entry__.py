@@ -34,6 +34,7 @@ from llm_scraper_spark.operators import (
     tokenizer,
     tpch_extra,
     tpch_extra2,
+    webarchive,
 )
 from llm_scraper_spark.streaming import jobs as streaming_jobs
 
@@ -64,6 +65,7 @@ _MODULES = (
     graph,
     multimodal,
     imagededup,
+    webarchive,
     htmltables,
     htmldump,
     streaming_jobs,

@@ -47,6 +47,7 @@ BNLJ_JUSTIFIED = {
     "ann_pq_topk": "N_QUERIES(=10)-row broadcast distance-table frame (ADC scan)",
     "ann_pq_recall": "composes sim_bruteforce_topk + ann_pq_topk",
     "corpus_source_mix": "1-row corpus-total aggregate",
+    "hits_topk": "1-row per-iteration max-rescale aggregates (HITS fixpoint)",
     "corpus_len_histogram": "1-row corpus-total aggregate",
 }
 

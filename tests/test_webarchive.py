@@ -1,0 +1,81 @@
+"""Web-archive interop suite: DuckDB twins plus the structural
+properties that make CDX/SURT and WARC outputs actually usable."""
+
+import pytest
+
+from llm_scraper_spark.operators.webarchive import (
+    ORACLE_SQL,
+    QUERIES,
+    N_SHARDS,
+)
+from tests.oracle_check import assert_matches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_webarchive_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches(df, ORACLE_SQL[name], SF_DIR, name)
+
+
+def test_surt_normalizations(spark):
+    rows = QUERIES["cdx_surt_index"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # scheme dropped, host reversed: every key starts with the TLD
+        assert r["surt_key"].startswith("com,example,"), r["surt_key"]
+        # www. stripped and host lowercased
+        assert "www" not in r["surt_key"]
+        assert r["surt_key"] == r["surt_key"].lower()
+        # query params sorted: the planted '?b=2&a=1' must come out a-first
+        if "?" in r["surt_key"]:
+            assert r["surt_key"].endswith("?a=1&b=2")
+        assert r["length_bytes"] > 0
+    # the index is globally sorted — the property range scans rely on
+    keys = [r["surt_key"] for r in rows]
+    assert keys == sorted(keys)
+    # sorted SURT order groups each host contiguously
+    hosts = [k.split(")")[0] for k in keys]
+    seen, prev = set(), None
+    for h in hosts:
+        if h != prev:
+            assert h not in seen, f"host {h} not contiguous in CDX order"
+            seen.add(h)
+            prev = h
+
+
+def test_warc_manifest_accounts_every_capture(spark):
+    rows = QUERIES["warc_manifest"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_records"] for r in rows) == n_docs
+    assert len(rows) <= N_SHARDS
+    for r in rows:
+        # a WARC record is strictly larger than its payload: headers
+        # (~200 bytes) + CRLF framing
+        assert r["total_bytes"] > r["n_records"] * 200
+        assert r["records_checksum"] > 0
+
+
+def test_warc_record_rendering(spark):
+    """One record, rendered and parsed back: header discipline, byte-
+    exact Content-Length, digest line matches the payload."""
+    import hashlib
+
+    from llm_scraper_spark.operators.webarchive import warc_record_col
+
+    df = spark.createDataFrame(
+        [("https://example.com/x", "payload body é")], "url string, text string"
+    ).selectExpr(f"{warc_record_col()} AS rec")
+    rec = df.collect()[0]["rec"]
+    head, _, payload = rec.partition("\r\n\r\n")
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.1"
+    hdr = dict(line.split(": ", 1) for line in lines[1:])
+    body = "payload body é"
+    assert int(hdr["Content-Length"]) == len(body.encode())
+    assert hdr["WARC-Target-URI"] == "https://example.com/x"
+    assert hdr["WARC-Payload-Digest"] == (
+        "md5:" + hashlib.md5(body.encode()).hexdigest()
+    )
+    assert payload == body + "\r\n\r\n"
