@@ -57,6 +57,48 @@ def test_warc_manifest_accounts_every_capture(spark):
         assert r["records_checksum"] > 0
 
 
+def _surt_py(url: str) -> str:
+    """Independent pure-Python SURT oracle (not the SQL expression
+    re-spelled: stdlib parsing, different code path)."""
+    rest = url.split("://", 1)[1]
+    for cut in ("/", "?"):
+        if cut in rest:
+            host = rest[: min(i for i in [rest.find("/"), rest.find("?")] if i >= 0)]
+            break
+    else:
+        host = rest
+    tail = rest[len(host):]
+    path, _, query = tail.partition("?")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split("."))) + ")" + path
+    if query:
+        key += "?" + "&".join(sorted(query.split("&")))
+    return key
+
+
+def test_surt_edge_cases_vs_python_oracle(spark):
+    urls = [
+        "https://www.Example.com/",
+        "http://example.com/a/b/c",
+        "https://sub.deep.example.com/x?z=9&y=8&a=1",
+        "https://example.com/noquery/",
+        "http://www.a.b.c.example.com/p?only=1",
+        "https://example.com/?b=2&a=1",
+        "https://HOST.example.COM/UPPER/path",  # host folds, path doesn't
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from llm_scraper_spark.operators.webarchive import surt_key_col
+
+    got = {
+        r["url"]: r["k"]
+        for r in df.selectExpr("url", f"{surt_key_col()} AS k").collect()
+    }
+    for u in urls:
+        assert got[u] == _surt_py(u), u
+
+
 def test_warc_record_rendering(spark):
     """One record, rendered and parsed back: header discipline, byte-
     exact Content-Length, digest line matches the payload."""
