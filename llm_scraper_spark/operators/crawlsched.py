@@ -122,9 +122,18 @@ def dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = urls.withColumn(
         "gsz", F.count("*").over(Window.partitionBy("ckey"))
     ).filter(F.col("gsz") <= MAX_ALIASES)
+    # shuffle_hash, NOT broadcast: both sides are the full URL universe
+    # (grows with the corpus — a broadcast hint would be obeyed
+    # unconditionally and OOM at 10^10 URLs); the equi-join on the
+    # 16-byte ckey is co-partitioned with the window count above, so
+    # the exchange is reused, and the capped group size bounds the
+    # within-key pair fan-out.
     pairs = (
         urls.alias("x")
-        .join(urls.alias("y"), F.expr("x.ckey = y.ckey AND x.url < y.url"))
+        .join(
+            urls.hint("shuffle_hash").alias("y"),
+            F.expr("x.ckey = y.ckey AND x.url < y.url"),
+        )
         .selectExpr("x.url AS ua", "y.url AS ub")
     )
     mid = pairs.selectExpr(
