@@ -294,7 +294,169 @@ def _pr_iter_sql(i: int) -> str:
       FROM idx LEFT JOIN c{i} ON idx.vid = c{i}.vid)"""
 
 
+# ------------------------------------------------ host/domain webgraph
+#: hosts in the synthetic universe: host(page) = vid % N_HOSTS_DG —
+#: the same 20-bucket host family webarchive/crawlsched use
+N_HOSTS_DG = 20
+DG_ITERS = 5
+
+
+def host_graph(docs) -> DataFrame:
+    """Host-level webgraph: the page-level link graph (same
+    deterministic (vid·31+j) mod n edge map as `link_pagerank`)
+    aggregated to ``(src_host, dst_host, n_links)`` — the two-level
+    rollup the public webgraph datasets publish (page graph → host /
+    domain graph) and the granularity a crawl scheduler budgets at.
+    One O(page-edges) groupBy; output is |hosts|² at most, tiny
+    relative to the page graph at any scale."""
+    from pyspark.sql import Window
+
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("vid"),
+    )
+    n = idx.count()  # scalar graph size (construction-only, as PageRank)
+    if n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "src_host long, dst_host long, n_links long"
+        )
+    return (
+        idx.select(
+            F.col("vid").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("vid") * 31 + F.lit(j)) % n
+                        for j in range(1, PR_FANOUT + 1)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .groupBy(
+            (F.col("src") % N_HOSTS_DG).alias("src_host"),
+            (F.col("dst") % N_HOSTS_DG).alias("dst_host"),
+        )
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def weighted_pagerank(edges: DataFrame, iters: int = DG_ITERS) -> DataFrame:
+    """Fixed-point integer PageRank over a WEIGHTED graph ``(src, dst,
+    w)``: each iteration a vertex passes ``rank·w div w_out`` along
+    every out-edge (per-edge integer div, so the sum is
+    order-independent and bit-exact cross-engine).  Same damping /
+    scale discipline as `link_pagerank`; vertices with no out-edges
+    drop their mass (the synthetic host graph has none — a production
+    caller redistributes dangling mass if its graph does).
+
+    Scale shape: ``w_out`` is joined onto the edge list ONCE
+    (persisted — every iteration re-reads it), then each iteration is
+    one O(edges) equi-join + sum.  Lineage stays linear in iters."""
+    from pyspark.storagelevel import StorageLevel
+
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nv = verts.count()  # scalar vertex count (bounded: hosts, not pages)
+    if nv == 0:
+        return edges.sparkSession.createDataFrame([], "v long, rank_units long")
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edges.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // (100 * nv)
+    ranks = verts.select("v", F.lit(PR_SCALE // nv).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .select("dst", F.expr("r * w div wout").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(contrib, verts.v == contrib.dst, "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.expr(f"{PR_DAMP_PCT} * coalesce(s, 0L) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("v", F.col("r").alias("rank_units"))
+
+
+def host_graph_edges(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: the host-level webgraph, deterministic order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return host_graph(docs).orderBy("src_host", "dst_host")
+
+
+def domain_rank(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: weighted PageRank over the host graph — the
+    domain-level crawl-priority signal (public webgraph datasets rank
+    hosts/domains exactly this way)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    he = host_graph(docs).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    return (
+        weighted_pagerank(he)
+        .select(F.col("v").alias("host"), "rank_units")
+        .orderBy(F.desc("rank_units"), "host")
+    )
+
+
+def _wpr_iter_sql(i: int) -> str:
+    return f"""
+    wc{i} AS (
+      SELECT he.dst AS v, sum(r{i - 1}.r * he.w // wout.wo) AS s
+      FROM he JOIN r{i - 1} ON he.src = r{i - 1}.v
+              JOIN wout ON he.src = wout.src
+      GROUP BY he.dst),
+    r{i} AS (
+      SELECT vs.v,
+             CAST(({100 - PR_DAMP_PCT} * {PR_SCALE} // (100 * (SELECT nv FROM nnv)))
+                  + ({PR_DAMP_PCT} * coalesce(wc{i}.s, 0) // 100) AS BIGINT) AS r
+      FROM vs LEFT JOIN wc{i} ON vs.v = wc{i}.v)"""
+
+
+_HOST_GRAPH_DUCK = f"""
+        nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vid
+          FROM documents),
+        pe AS (
+          SELECT vid AS src, (vid * 31 + j) % (SELECT n FROM nn) AS dst
+          FROM idx CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))}) AS t(j)),
+        he AS (
+          SELECT src % {N_HOSTS_DG} AS src, dst % {N_HOSTS_DG} AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM pe GROUP BY 1, 2)"""
+
+
 ORACLE_SQL = {
+    "host_graph_edges": f"""
+        WITH {_HOST_GRAPH_DUCK}
+        SELECT src AS src_host, dst AS dst_host, w AS n_links
+        FROM he ORDER BY src_host, dst_host
+    """,
+    "domain_rank": f"""
+        WITH {_HOST_GRAPH_DUCK},
+        vs AS (SELECT DISTINCT v FROM
+                 (SELECT src AS v FROM he UNION ALL SELECT dst FROM he)),
+        nnv AS (SELECT count(*) AS nv FROM vs),
+        wout AS (SELECT src, sum(w) AS wo FROM he GROUP BY src),
+        r0 AS (SELECT v, CAST({PR_SCALE} // (SELECT nv FROM nnv) AS BIGINT) AS r
+               FROM vs),
+        {",".join(_wpr_iter_sql(i) for i in range(1, DG_ITERS + 1))}
+        SELECT v AS host, CAST(r AS BIGINT) AS rank_units
+        FROM r{DG_ITERS}
+        ORDER BY rank_units DESC, host
+    """,
     "link_pagerank_topk": f"""
         WITH nn AS (SELECT count(*) AS n FROM documents),
         idx AS (
@@ -347,4 +509,6 @@ ORACLE_SQL = {
 QUERIES = {
     "link_pagerank_topk": link_pagerank_topk,
     "kg_triangle_count": kg_triangle_count,
+    "host_graph_edges": host_graph_edges,
+    "domain_rank": domain_rank,
 }

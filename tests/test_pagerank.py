@@ -52,3 +52,71 @@ def test_pagerank_mass_is_conserved_approximately(spark):
     n = docs.count()
     loss_bound = graph.PR_ITERS * 4 * n + n
     assert graph.PR_SCALE - loss_bound <= total <= graph.PR_SCALE
+
+
+# ------------------------------------------------ host graph / domain rank
+def test_host_graph_matches_duckdb(spark):
+    assert_matches(
+        graph.QUERIES["host_graph_edges"](spark, SF_DIR),
+        graph.ORACLE_SQL["host_graph_edges"],
+        SF_DIR,
+        "host_graph_edges",
+    )
+
+
+def test_domain_rank_matches_duckdb(spark):
+    assert_matches(
+        graph.QUERIES["domain_rank"](spark, SF_DIR),
+        graph.ORACLE_SQL["domain_rank"],
+        SF_DIR,
+        "domain_rank",
+    )
+
+
+def test_host_graph_accounts_every_page_edge(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    n = docs.count()
+    total = sum(
+        r["n_links"] for r in graph.host_graph(docs).collect()
+    )
+    assert total == n * graph.PR_FANOUT
+
+
+def _python_weighted_pagerank(
+    edges: list[tuple[int, int, int]], iters: int
+) -> dict[int, int]:
+    """Independent plain-int weighted kernel: rank·w // w_out per edge."""
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    nv = len(verts)
+    wout: dict[int, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    base = (100 - graph.PR_DAMP_PCT) * graph.PR_SCALE // (100 * nv)
+    r = {v: graph.PR_SCALE // nv for v in verts}
+    for _ in range(iters):
+        s_acc = {v: 0 for v in verts}
+        for s, d, w in edges:
+            s_acc[d] += r[s] * w // wout[s]
+        r = {
+            v: base + graph.PR_DAMP_PCT * s_acc[v] // 100 for v in verts
+        }
+    return r
+
+
+def test_weighted_pagerank_matches_python_oracle_on_skewed_graph(spark):
+    """A hand-built graph where one hub receives 10x the link weight:
+    the kernel must match the plain-int oracle exactly AND rank the
+    hub first."""
+    edges = [
+        (0, 9, 10), (1, 9, 10), (2, 9, 10), (3, 9, 10),
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1),
+        (9, 0, 1), (9, 1, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["v"]: r["rank_units"]
+        for r in graph.weighted_pagerank(df).collect()
+    }
+    expect = _python_weighted_pagerank(edges, graph.DG_ITERS)
+    assert got == expect
+    assert max(got, key=got.get) == 9
