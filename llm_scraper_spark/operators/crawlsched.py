@@ -315,6 +315,82 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- anchors
+ANCHOR_TOPK = 3
+ANCHOR_FANOUT = 4
+
+
+def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target in-link anchor-text aggregation — the classic
+    web-search relevance signal (anchor terms describe the TARGET
+    page better than its own text; the reference's extractor only
+    ever reads the page itself, extract_product_urls.py:104-119 walks
+    hrefs but discards the link text).  For every link (src → dst)
+    the anchor term is the link-position-th word of the source page
+    (deterministic, twin-exact); per target we keep the top-k terms
+    by count (count desc, term asc tie-break) plus the total in-link
+    count.
+
+    Scale shape: anchors are O(edges) skinny (dst, term) rows; the
+    (dst, term) count agg collapses them before the per-dst top-k
+    window, whose input is bounded by the target's distinct anchor
+    VOCABULARY (not its in-degree — a hub with 10^7 identical
+    "click here" anchors contributes one row).  One shuffle for the
+    agg, one for the window, both on the dst key."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("vid"),
+    )
+    n = idx.count()  # scalar graph size (construction-only, as PageRank)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, n long, in_links long"
+        )
+    # (src_vid, dst_vid, link position j); anchor term = j-th word of src
+    links = idx.select(
+        F.col("vid").alias("src"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("vid") * 31 + F.lit(j)) % n
+                    for j in range(1, ANCHOR_FANOUT + 1)
+                ]
+            )
+        ).alias("pos", "dst"),
+    )
+    src_text = idx.join(docs, "doc_id").select("vid", "text")
+    anchors = (
+        links.join(src_text, links.src == src_text.vid)
+        .selectExpr(
+            "dst",
+            "lower(element_at(split(text, ' '), pos + 1)) AS term",
+        )
+        .filter("term IS NOT NULL AND term <> ''")
+    )
+    counted = anchors.groupBy("dst", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
+    w_all = Window.partitionBy("dst")
+    topk = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .withColumn("in_links", F.sum("n").over(w_all))
+        .filter(F.col("rk") <= ANCHOR_TOPK)
+    )
+    return (
+        topk.join(idx, topk.dst == idx.vid)
+        .select("doc_id", "term", "n", F.col("in_links").cast("long").alias("in_links"))
+        .orderBy("doc_id", F.desc("n"), "term")
+    )
+
+
 # ------------------------------------------------------------ DuckDB twins
 _CANON_DUCK = (
     f"('https://site' || (doc_id % {N_SITES}) || '.example.com/page/'"
@@ -433,6 +509,36 @@ ORACLE_SQL = {
         JOIN h{HITS_ITERS} ON idx.vid = h{HITS_ITERS}.vid
         ORDER BY auth_units DESC, doc_id LIMIT 20
     """,
+    "anchor_text_topk": f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (
+          SELECT doc_id, text,
+                 CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS vid
+          FROM documents),
+        links AS (
+          SELECT vid AS src, j - 1 AS pos,
+                 (vid * 31 + j) % (SELECT n FROM nn) AS dst
+          FROM idx CROSS JOIN (VALUES {", ".join(f"({j})" for j in range(1, ANCHOR_FANOUT + 1))}) AS t(j)),
+        anchors AS (
+          SELECT l.dst,
+                 lower(string_split(i.text, ' ')[l.pos + 1]) AS term
+          FROM links l JOIN idx i ON l.src = i.vid
+          WHERE string_split(i.text, ' ')[l.pos + 1] IS NOT NULL
+            AND string_split(i.text, ' ')[l.pos + 1] <> ''),
+        counted AS (
+          SELECT dst, term, CAST(count(*) AS BIGINT) AS n
+          FROM anchors GROUP BY dst, term),
+        ranked AS (
+          SELECT dst, term, n,
+                 row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)
+                   AS rk,
+                 CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS in_links
+          FROM counted)
+        SELECT idx.doc_id, ranked.term, ranked.n, ranked.in_links
+        FROM ranked JOIN idx ON ranked.dst = idx.vid
+        WHERE rk <= {ANCHOR_TOPK}
+        ORDER BY idx.doc_id, ranked.n DESC, ranked.term
+    """,
     "recrawl_schedule": f"""
         WITH agg AS (
           SELECT user_id AS url_id,
@@ -459,4 +565,5 @@ QUERIES = {
     "dust_rules": dust_rules,
     "hits_topk": hits_topk,
     "recrawl_schedule": recrawl_schedule,
+    "anchor_text_topk": anchor_text_topk,
 }

@@ -72,3 +72,31 @@ def test_recrawl_interval_bounds_and_monotonicity(spark):
         assert max(h["next_interval_h"] for h in hot) <= min(
             c["next_interval_h"] for c in cold
         )
+
+
+def test_anchor_topk_shape_and_budget(spark):
+    from llm_scraper_spark.operators.crawlsched import (
+        ANCHOR_FANOUT,
+        ANCHOR_TOPK,
+    )
+
+    rows = QUERIES["anchor_text_topk"](spark, SF_DIR).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        assert len(rs) <= ANCHOR_TOPK
+        # in_links is a per-target constant and bounds every term count
+        assert len({r["in_links"] for r in rs}) == 1
+        assert all(r["n"] <= r["in_links"] for r in rs)
+        # rows come back count-desc, term-asc
+        pairs = [(-r["n"], r["term"]) for r in rs]
+        assert pairs == sorted(pairs)
+    # every link in the graph lands in exactly one target's in_links
+    # (anchors from short source pages are dropped, hence <=)
+    assert (
+        sum(rs[0]["in_links"] for rs in per_doc.values())
+        <= n_docs * ANCHOR_FANOUT
+    )
