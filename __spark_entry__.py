@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from llm_scraper_spark.operators import (
+    centrality,
     crawlsched,
     curation,
     dedup,
@@ -55,6 +56,7 @@ _MODULES = (
     dedup,
     frontier_hygiene,
     crawlsched,
+    centrality,
     similarity,
     pq,
     textstats,
