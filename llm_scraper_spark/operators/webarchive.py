@@ -173,6 +173,47 @@ def warc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ WARC ingest
+def warc_parse_cols(rec: str = "rec") -> list[str]:
+    """SQL expressions parsing a WARC/1.1 response record back into
+    capture columns: target URI, payload digest, declared
+    Content-Length, and the payload itself ((?s) so the body may span
+    CRLFs).  The inverse of `warc_record_col` — the engine can ingest
+    its own (or any conforming) WARC export."""
+    return [
+        f"regexp_extract({rec}, 'WARC-Target-URI: ([^\\r]*)', 1) AS url",
+        f"regexp_extract({rec}, 'WARC-Payload-Digest: md5:([0-9a-f]{{32}})', 1)"
+        " AS digest",
+        f"cast(regexp_extract({rec}, 'Content-Length: ([0-9]+)', 1) as bigint)"
+        " AS length_bytes",
+        f"regexp_extract({rec}, '(?s)\\r\\n\\r\\n(.*)\\r\\n\\r\\n$', 1)"
+        " AS payload",
+    ]
+
+
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip gate: render every capture as a WARC record, parse
+    it back, and verify the payload against the record's OWN headers
+    (digest and byte length recomputed from the parsed payload).  The
+    emitted ``payload_ok`` flag is pinned to 1 in the twin — any drift
+    in either the renderer or the parser in either engine flips it and
+    fails the value hash.  All row-local; the output is the CDX-shaped
+    capture table a WARC-source scan would feed the engine."""
+    recs = _captures(spark, sf_dir).selectExpr(f"{warc_record_col()} AS rec")
+    return (
+        recs.selectExpr(*warc_parse_cols())
+        .selectExpr(
+            "url",
+            "digest",
+            "length_bytes",
+            "if(md5(payload) = digest"
+            " and octet_length(payload) = length_bytes, 1L, 0L)"
+            " AS payload_ok",
+        )
+        .orderBy("url")
+    )
+
+
 # ------------------------------------------------------------ DuckDB twins
 _SURT_DUCK = """
   parts AS (
@@ -235,7 +276,33 @@ ORACLE_SQL = {
     """,
 }
 
+# NOTE: the \r\n below are REAL control characters inside the SQL text
+# (Python escapes), matching the prototype-verified DuckDB pattern
+# dialect; the Spark side spells them as SQL-literal escapes instead.
+ORACLE_SQL["warc_ingest"] = f"""
+    WITH caps AS (
+      SELECT {_URL_DUCK} AS url, text FROM documents
+    ),
+    recs AS (SELECT {_REC_DUCK} AS rec FROM caps),
+    parsed AS (
+      SELECT regexp_extract(rec, 'WARC-Target-URI: ([^\r]*)', 1) AS url,
+             regexp_extract(rec, 'WARC-Payload-Digest: md5:([0-9a-f]{{32}})', 1)
+               AS digest,
+             CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)
+                  AS BIGINT) AS length_bytes,
+             regexp_extract(rec, '(?s)\r\n\r\n(.*)\r\n\r\n$', 1) AS payload
+      FROM recs
+    )
+    SELECT url, digest, length_bytes,
+           CASE WHEN md5(payload) = digest
+                 AND strlen(payload) = length_bytes
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             AS payload_ok
+    FROM parsed ORDER BY url
+"""
+
 QUERIES = {
     "cdx_surt_index": cdx_surt_index,
     "warc_manifest": warc_manifest,
+    "warc_ingest": warc_ingest,
 }

@@ -121,3 +121,15 @@ def test_warc_record_rendering(spark):
         "md5:" + hashlib.md5(body.encode()).hexdigest()
     )
     assert payload == body + "\r\n\r\n"
+
+
+def test_warc_ingest_matches_oracle_and_roundtrips(spark):
+    from llm_scraper_spark.operators.webarchive import warc_ingest
+
+    df = warc_ingest(spark, SF_DIR)
+    assert_matches(df, ORACLE_SQL["warc_ingest"], SF_DIR, "warc_ingest")
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    # every rendered record parses back byte-exactly
+    assert all(r["payload_ok"] == 1 for r in rows)
