@@ -309,6 +309,21 @@ class Crawler:
 
         return raw_html_view(self.documents_df())
 
+    def export_warc(self, path: str) -> None:
+        """WARC/1.1 export of every crawled page: url = doc_id,
+        payload = the S6 re-rendered page source, records rendered
+        row-locally (`operators/webarchive.warc_record_col`) and
+        written as parquet shards partitioned by crawl round — the
+        archive-ecosystem hand-off format (Common Crawl ships WARC),
+        round-trip-verified by `webarchive.warc_parse_cols` in
+        tests/test_webarchive.py."""
+        from ..operators.webarchive import warc_record_col
+
+        self.raw_html_df().selectExpr(
+            "round",
+            f"{warc_record_col('doc_id', 'raw_html')} AS rec",
+        ).write.mode("overwrite").partitionBy("round").parquet(path)
+
     # ---- bloom maintenance ---------------------------------------------
     @staticmethod
     def _bloom_local_max() -> int:

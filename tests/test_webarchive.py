@@ -133,3 +133,33 @@ def test_warc_ingest_matches_oracle_and_roundtrips(spark):
     assert len(rows) == n_docs
     # every rendered record parses back byte-exactly
     assert all(r["payload_ok"] == 1 for r in rows)
+
+
+def test_crawler_export_warc_roundtrips(spark, tmp_path):
+    """Drive a small real crawl, export it as WARC shards, parse every
+    record back, and verify payloads against the records' own
+    headers — the full export→ingest loop on actual crawl output."""
+    from llm_scraper_spark.operators.webarchive import warc_parse_cols
+    from llm_scraper_spark.plans.crawler import Crawler
+    from llm_scraper_spark.sources.synthweb import robots_rows, seed_urls
+
+    wd = str(tmp_path / "wd")
+    c = Crawler(spark, wd, budget_ms=2000)
+    c.init_state(seed_urls(40), robots_rows())
+    c.run(max_rounds=2)
+    out = str(tmp_path / "warc")
+    c.export_warc(out)
+    parsed = (
+        spark.read.parquet(out)
+        .selectExpr("round", *warc_parse_cols())
+        .selectExpr(
+            "round",
+            "url",
+            "if(md5(payload) = digest"
+            " and octet_length(payload) = length_bytes, 1, 0) AS ok",
+        )
+    )
+    rows = parsed.collect()
+    assert len(rows) == c.documents_df().count()
+    assert all(r["ok"] == 1 for r in rows)
+    assert {r["round"] for r in rows} == {0, 1}
