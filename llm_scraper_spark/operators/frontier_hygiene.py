@@ -254,7 +254,91 @@ def robots_gate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- robots.txt codec
+def robots_txt_col(
+    disallow: str = "disallow_prefix", delay_ms: str = "crawl_delay_ms"
+) -> str:
+    """SQL expression rendering one host's rule row as a robots.txt
+    body (the wire format a crawler actually fetches): empty Disallow
+    = allow-all per the spec; Crawl-delay in seconds with exactly
+    three decimals so both engines format the fraction identically
+    (no locale/decimal-string drift)."""
+    return (
+        "concat("
+        "'User-agent: *', chr(10),"
+        f"'Disallow: ', coalesce({disallow}, ''), chr(10),"
+        f"'Crawl-delay: ', cast({delay_ms} div 1000 as string), '.',"
+        f" lpad(cast({delay_ms} % 1000 as string), 3, '0'), chr(10)"
+        ")"
+    )
+
+
+def robots_parse_cols(txt: str = "robots_txt") -> list[str]:
+    """SQL expressions parsing a robots.txt body back into the rule
+    row the crawl's broadcast gate consumes — the missing hop between
+    fetching /robots.txt bodies and `Crawler.init_state`'s rule
+    table."""
+    return [
+        f"nullif(regexp_extract({txt}, 'Disallow: ([^\\n]*)', 1), '')"
+        " AS disallow_prefix",
+        f"cast(regexp_extract({txt}, 'Crawl-delay: ([0-9]+)\\\\.', 1)"
+        " as bigint) * 1000"
+        f" + cast(regexp_extract({txt}, 'Crawl-delay: [0-9]+\\\\.([0-9]{{3}})', 1)"
+        " as bigint) AS crawl_delay_ms",
+    ]
+
+
+def robots_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip gate: deterministic md5-derived rules per synthetic
+    host → rendered robots.txt → parsed back; ``roundtrip_ok`` is
+    pinned to 1 in the twin, so any drift in renderer or parser in
+    either engine fails the value hash.  All row-local over a
+    |hosts|-row frame."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = docs.selectExpr("doc_id % 20 AS hk").distinct().selectExpr(
+        "concat('site', cast(hk as string), '.example.com') AS host",
+        "if(cast(conv(substr(md5(concat('rb:', hk)), 1, 2), 16, 10) as int)"
+        " % 2 = 0, '/private', null) AS disallow_prefix",
+        "250 + cast(conv(substr(md5(concat('rb:', hk)), 3, 2), 16, 10)"
+        " as bigint) % 5 * 500 AS crawl_delay_ms",
+    )
+    rendered = rules.selectExpr(
+        "host",
+        "disallow_prefix AS want_disallow",
+        "crawl_delay_ms AS want_delay",
+        f"{robots_txt_col()} AS robots_txt",
+    )
+    return (
+        rendered.selectExpr(
+            "host", "want_disallow", "want_delay", *robots_parse_cols()
+        )
+        .selectExpr(
+            "host",
+            "disallow_prefix",
+            "crawl_delay_ms",
+            "if(coalesce(disallow_prefix, '') = coalesce(want_disallow, '')"
+            " and crawl_delay_ms = want_delay, 1L, 0L) AS roundtrip_ok",
+        )
+        .orderBy("host")
+    )
+
+
 ORACLE_SQL = {
+    "robots_roundtrip": """
+        WITH rules AS (
+          SELECT 'site' || hk || '.example.com' AS host,
+                 CASE WHEN CAST(concat('0x', substr(md5('rb:' || hk), 1, 2))
+                           AS BIGINT) % 2 = 0
+                      THEN '/private' END AS disallow_prefix,
+                 250 + CAST(concat('0x', substr(md5('rb:' || hk), 3, 2))
+                            AS BIGINT) % 5 * 500 AS crawl_delay_ms
+          FROM (SELECT DISTINCT doc_id % 20 AS hk FROM documents)
+        )
+        SELECT host, disallow_prefix,
+               CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms,
+               CAST(1 AS BIGINT) AS roundtrip_ok
+        FROM rules ORDER BY host
+    """,
     "url_trap_flags": f"""
         WITH {_FRONTIER_CTE},
         parsed AS (
@@ -325,6 +409,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "robots_roundtrip": robots_roundtrip,
     "url_trap_flags": url_trap_flags,
     "sitemap_frontier_extract": sitemap_frontier_extract,
     "robots_gate_summary": robots_gate_summary,

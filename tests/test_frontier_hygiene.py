@@ -99,3 +99,40 @@ def test_robots_blocks_exactly_denied_segment(spark):
     for host, r in summary.items():
         assert r["n_blocked"] == want_blocked[host], host
         assert r["n_allowed"] == want_total[host] - want_blocked[host], host
+
+
+def test_robots_roundtrip_matches_oracle(spark):
+    assert_matches(
+        fh.robots_roundtrip(spark, SF_DIR),
+        fh.ORACLE_SQL["robots_roundtrip"],
+        SF_DIR,
+        "robots_roundtrip",
+    )
+
+
+def test_robots_codec_roundtrips_the_real_crawl_rules(spark):
+    """Render + parse the ACTUAL synthweb rule table the crawler is
+    initialized with (not the md5 gate universe) — the codec must be
+    lossless on every rule the crawl path uses, including the
+    null-prefix (allow-all) and sub-second-delay hosts."""
+    from llm_scraper_spark.sources.synthweb import robots_rows
+
+    rows = robots_rows()
+    df = spark.createDataFrame(
+        rows,
+        "host string, disallow_prefix string, crawl_delay_ms bigint",
+    )
+    back = {
+        r["host"]: (r["disallow_prefix"], r["crawl_delay_ms"])
+        for r in df.selectExpr(
+            "host", f"{fh.robots_txt_col()} AS robots_txt"
+        )
+        .selectExpr("host", *fh.robots_parse_cols())
+        .collect()
+    }
+    assert len(back) == len(rows)
+    for r in rows:
+        assert back[r["host"]] == (
+            r["disallow_prefix"],
+            r["crawl_delay_ms"],
+        ), r["host"]
