@@ -294,6 +294,65 @@ def mm_image_gate_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- MIME sniffing
+#: magic-byte prefixes (hex) → MIME type, the content-sniffing table a
+#: media ingest runs BEFORE any decoder is trusted with the bytes (the
+#: reference trusts the URL suffix instead — media_downloader.py:9-63
+#: saves whatever arrives as .jpg): the wire lies about content types,
+#: magic bytes do not.
+MAGIC_TABLE = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383961", "image/gif"),
+    ("52494646", "audio/x-riff"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("3C21444F43", "text/html"),
+]
+
+
+def sniff_mime_col(payload: str = "payload") -> str:
+    """SQL expression: MIME type of a BINARY payload column by magic
+    bytes — longest-prefix-first CASE over hex(substring(payload)),
+    octet-stream fallback.  Row-local codegen; the gate a multimodal
+    pipeline applies before routing bytes to a decoder."""
+    arms = "\n".join(
+        f"WHEN substr(hex(substring({payload}, 1, 8)), 1, {len(h)})"
+        f" = '{h}' THEN '{m}'"
+        for h, m in MAGIC_TABLE
+    )
+    return f"CASE {arms} ELSE 'application/octet-stream' END"
+
+
+def mime_sniff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus media-type census over synthesized binary payloads
+    (magic family = doc_id % 8 — one family deliberately junk so the
+    octet-stream fallback is exercised; body = md5-derived bytes):
+    per sniffed MIME type, count + total payload bytes.  The payload
+    is a REAL binary column on the Spark side; the twin computes the
+    identical answer in hex-string space."""
+    magics = [h for h, _ in MAGIC_TABLE] + ["00DEAD"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = (
+        "unhex(concat(element_at(array("
+        + ", ".join(f"'{h}'" for h in magics)
+        + "), cast(doc_id % 8 + 1 as int)), md5(text)))"
+    )
+    return (
+        docs.selectExpr(f"{payload} AS payload")
+        .selectExpr(
+            f"{sniff_mime_col()} AS mime",
+            "cast(octet_length(payload) as bigint) AS nbytes",
+        )
+        .groupBy("mime")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("mime")
+    )
+
+
 ORACLE_SQL = {
     "mm_decode_stub": """
         SELECT doc_id,
@@ -357,7 +416,33 @@ ORACLE_SQL = {
     """,
 }
 
+
+ORACLE_SQL["mime_sniff_summary"] = """
+    WITH hexed AS (
+      SELECT (list_value('89504E47', 'FFD8FF', '474946383961', '52494646', '25504446', '504B0304', '3C21444F43', '00DEAD')[CAST(doc_id % 8 + 1 AS INT)]) || upper(md5(text))
+               AS h
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT CASE
+             WHEN substr(h, 1, 8) = '89504E47' THEN 'image/png'
+             WHEN substr(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+             WHEN substr(h, 1, 12) = '474946383961' THEN 'image/gif'
+             WHEN substr(h, 1, 8) = '52494646' THEN 'audio/x-riff'
+             WHEN substr(h, 1, 8) = '25504446' THEN 'application/pdf'
+             WHEN substr(h, 1, 8) = '504B0304' THEN 'application/zip'
+             WHEN substr(h, 1, 10) = '3C21444F43' THEN 'text/html'
+             ELSE 'application/octet-stream' END AS mime,
+             CAST(strlen(h) // 2 AS BIGINT) AS nbytes
+      FROM hexed
+    )
+    SELECT mime, CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes
+    FROM sniffed GROUP BY mime ORDER BY mime
+"""
+
 QUERIES = {
+    "mime_sniff_summary": mime_sniff_summary,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_dataurl_decode": mm_dataurl_decode,

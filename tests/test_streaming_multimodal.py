@@ -294,3 +294,28 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
         len(got) == len(want)
         and all(got[c].tolist() == want[c].tolist() for c in got.columns)
     )
+
+
+def test_mime_sniff_matches_oracle_and_families(spark):
+    from llm_scraper_spark.operators.multimodal import (
+        MAGIC_TABLE,
+        ORACLE_SQL,
+        QUERIES,
+    )
+    from tests.oracle_check import assert_matches
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["mime_sniff_summary"](spark, sf)
+    assert_matches(df, ORACLE_SQL["mime_sniff_summary"], sf, "mime_sniff_summary")
+    rows = {r["mime"]: r for r in df.collect()}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # all 8 planted families (7 magics + the junk fallback) must appear
+    # and account for every payload
+    assert set(rows) == {m for _, m in MAGIC_TABLE} | {
+        "application/octet-stream"
+    }
+    assert sum(r["n_payloads"] for r in rows.values()) == n_docs
+    # magic prefix + 16 md5 bytes: per-mime byte totals are exact
+    for (hexmagic, mime) in MAGIC_TABLE:
+        r = rows[mime]
+        assert r["total_bytes"] == r["n_payloads"] * (len(hexmagic) // 2 + 16)
