@@ -163,3 +163,48 @@ def test_crawler_export_warc_roundtrips(spark, tmp_path):
     assert len(rows) == c.documents_df().count()
     assert all(r["ok"] == 1 for r in rows)
     assert {r["round"] for r in rows} == {0, 1}
+
+
+def test_surt_and_warc_roundtrip_on_seeded_random_urls(spark):
+    """200 seeded pseudorandom URLs/payloads through both codecs in
+    one batch: SURT equals the stdlib oracle on every one, and every
+    WARC record parses back byte-exactly."""
+    import hashlib
+    import random
+
+    from llm_scraper_spark.operators.webarchive import (
+        surt_key_col,
+        warc_parse_cols,
+        warc_record_col,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https"])
+        labels = [
+            rng.choice(["www", "a", "sub", "x9"])
+            for _ in range(rng.randint(0, 2))
+        ] + [f"h{rng.randint(0, 99)}", "example", "com"]
+        path = "/" + "/".join(
+            f"s{rng.randint(0, 9)}" for _ in range(rng.randint(0, 4))
+        )
+        params = [f"k{rng.randint(0, 9)}=v{rng.randint(0, 9)}"
+                  for _ in range(rng.randint(0, 3))]
+        url = f"{scheme}://{'.'.join(labels)}{path}"
+        if params:
+            url += "?" + "&".join(params)
+        payload = f"body {i} é " + hashlib.md5(str(i).encode()).hexdigest()
+        rows.append((url, payload))
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = df.selectExpr(
+        "url",
+        "text",
+        f"{surt_key_col()} AS sk",
+        f"{warc_record_col()} AS rec",
+    ).selectExpr("url", "text", "sk", *warc_parse_cols("rec"))
+    for r in got.collect():
+        assert r["sk"] == _surt_py(r["url"]), r["url"]
+        assert r["payload"] == r["text"]
+        assert r["length_bytes"] == len(r["text"].encode())
+        assert r["digest"] == hashlib.md5(r["text"].encode()).hexdigest()
