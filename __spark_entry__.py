@@ -30,6 +30,8 @@ from llm_scraper_spark.operators import (
     relational,
     scrub,
     similarity,
+    sketches,
+    snapshots,
     spans,
     textstats,
     tokenizer,
@@ -56,6 +58,8 @@ _MODULES = (
     dedup,
     frontier_hygiene,
     crawlsched,
+    snapshots,
+    sketches,
     centrality,
     similarity,
     pq,

@@ -1,0 +1,170 @@
+"""Count-Min sketch heavy hitters — the mergeable frequency sketch.
+
+The crawl loop needs per-host traffic accounting at every round
+(politeness budgets, hot-host detection, abuse throttling), but an
+exact per-host count at 10^10 URLs is a full shuffle of the frontier
+per round.  The Count-Min sketch (Cormode–Muthukrishnan, J.Alg '05)
+answers point frequency queries with a FIXED-SIZE state table —
+D×W counters regardless of corpus size — that is *additive*: sketches
+built per partition / per round / per shard merge by cell-wise sum,
+exactly like the HLL++ distinct sketch (`approx_distinct_gate`) and
+the KMV ball sketches (`harmonic_centrality_topk`) already in the
+suite.  Guarantee: estimate ≥ true count always (one-sided), and
+estimate ≤ true + εN with probability 1−δ for W = ⌈e/ε⌉, D = ⌈ln 1/δ⌉.
+
+The reference counts per-host work implicitly (one SLURM task per
+batch file, server/scripts/batch.py:19-23) and keeps no frequency
+state at all; this is the scale path for that gap.
+
+Determinism/twin: row-d hash = first 15 hex chars of
+md5('cms' ‖ d ‖ ':' ‖ key) → 60-bit long mod W (the repo's shared
+hex→long idiom, dedup.py:13) — both engines agree bit-for-bit, so the
+sketch table, the point estimates, and the heavy-hitter cut are all
+hash-exact cross-engine.  No floats anywhere.
+
+Scale shape: building the sketch is one groupBy over D×|items| skinny
+(d, cell) rows into AT MOST D·W output rows (hash partial aggregation
+collapses map-side, so the shuffle is bounded by D·W per partition —
+constant); the candidate estimate join touches D rows per candidate
+against the ≤D·W-row sketch (broadcast — the sketch is constant-size
+BY CONSTRUCTION, the always-correct broadcast).  The exact counts
+computed alongside in the driver gate are the sandbox-scale
+self-check; a production run keeps only the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CMS_D = 4          # hash rows (δ = e^-4 ≈ 1.8%)
+CMS_W = 64         # counters per row — small on purpose so collisions
+                   # (and the one-sided overestimate) actually occur at
+                   # sandbox SF; production would size W = e/ε
+HH_PCT = 2         # heavy hitter = estimated share ≥ 2% of the stream
+
+#: synthetic per-event host: every 3rd user hits the hot host site0,
+#: the rest spread over 40 host buckets — a ~35% hot key, the skew a
+#: real frontier shows.
+_HOST_SPARK = (
+    "if(user_id % 3 = 0, 'site0', concat('site', cast(user_id % 40 as string)))"
+)
+_HOST_DUCK = (
+    "CASE WHEN user_id % 3 = 0 THEN 'site0'"
+    " ELSE 'site' || CAST(user_id % 40 AS VARCHAR) END"
+)
+
+
+def _cell(d: int, key: str = "key") -> str:
+    """SQL expr: CMS cell index of `key` in hash row d (0-based)."""
+    return (
+        f"cast(conv(substr(md5(concat('cms', '{d}', ':', {key})), 1, 15),"
+        f" 16, 10) as bigint) % {CMS_W}"
+    )
+
+
+def cms_build(items: DataFrame, key: str = "key") -> DataFrame:
+    """Build the Count-Min sketch table ``(d, cell, cnt)`` from an item
+    frame (one row per occurrence).  ≤ D·W rows out, additive across
+    shards: cms_build(a ∪ b) == cell-wise sum of cms_build(a) and
+    cms_build(b)."""
+    rows = items.selectExpr(
+        f"stack({CMS_D}, "
+        + ", ".join(f"{d}, {_cell(d, key)}" for d in range(CMS_D))
+        + ") AS (d, cell)"
+    )
+    return rows.groupBy("d", "cell").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 key: str = "key") -> DataFrame:
+    """Point-estimate every candidate key against the sketch:
+    min over the D rows of the candidate's cell counter.  The sketch
+    is ≤ D·W rows — broadcast by construction."""
+    probes = candidates.selectExpr(
+        key,
+        f"stack({CMS_D}, "
+        + ", ".join(f"{d}, {_cell(d, key)}" for d in range(CMS_D))
+        + ") AS (d, cell)",
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_cnt"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: hosts whose CMS-estimated share of the event
+    stream is ≥ HH_PCT percent, with the exact count alongside (the
+    one-sided guarantee cms_cnt ≥ exact_cnt is thus driver-checked on
+    every row).  Candidates are the distinct hosts — bounded here; at
+    10^10 URLs candidates come from a prior round's survivors."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        f"{_HOST_SPARK} AS key"
+    )
+    n = ev.count()  # scalar stream size (drives the % threshold)
+    sketch = cms_build(ev)
+    exact = ev.groupBy("key").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    est = cms_estimate(sketch, exact.select("key"))
+    return (
+        exact.join(est, "key")
+        .filter(F.col("cms_cnt") * 100 >= F.lit(HH_PCT * n))
+        .select(
+            F.col("key").alias("host"),
+            "exact_cnt",
+            "cms_cnt",
+            (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_cnt"), "host")
+    )
+
+
+def _cell_duck(d: int, key: str = "key") -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms' || '{d}' || ':' || {key}), 1, 15)"
+        f" AS BIGINT) % {CMS_W}"
+    )
+
+
+ORACLE_SQL = {
+    "cms_heavy_hitters": f"""
+        WITH ev AS (
+          SELECT {_HOST_DUCK} AS key
+          FROM events),
+        nn AS (SELECT count(*) AS n FROM ev),
+        cells AS (
+          SELECT t.d,
+                 CASE {" ".join(f"WHEN t.d = {d} THEN {_cell_duck(d)}" for d in range(CMS_D))} END AS cell
+          FROM ev CROSS JOIN (VALUES {", ".join(f"({d})" for d in range(CMS_D))}) AS t(d)),
+        sketch AS (
+          SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY d, cell),
+        exact AS (
+          SELECT key, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM ev GROUP BY key),
+        probes AS (
+          SELECT exact.key, t.d,
+                 CASE {" ".join(f"WHEN t.d = {d} THEN {_cell_duck(d, 'exact.key')}" for d in range(CMS_D))} END AS cell
+          FROM exact CROSS JOIN (VALUES {", ".join(f"({d})" for d in range(CMS_D))}) AS t(d)),
+        est AS (
+          SELECT p.key,
+                 CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_cnt
+          FROM probes p LEFT JOIN sketch s
+            ON p.d = s.d AND p.cell = s.cell
+          GROUP BY p.key)
+        SELECT exact.key AS host, exact_cnt, cms_cnt,
+               cms_cnt - exact_cnt AS overcount
+        FROM exact JOIN est ON exact.key = est.key
+        WHERE cms_cnt * 100 >= {HH_PCT} * (SELECT n FROM nn)
+        ORDER BY cms_cnt DESC, host
+    """,
+}
+
+QUERIES = {
+    "cms_heavy_hitters": cms_heavy_hitters,
+}

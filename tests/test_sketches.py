@@ -1,0 +1,66 @@
+"""Count-Min sketch: one-sided guarantee, mergeability, and the
+driver-gate twin."""
+
+from pyspark.sql import functions as F
+
+from llm_scraper_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _items(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        f"{sketches._HOST_SPARK} AS key", "event_id"
+    )
+
+
+def test_cms_never_underestimates(spark):
+    """estimate ≥ exact for EVERY key — the CMS one-sided guarantee."""
+    items = _items(spark).select("key")
+    sketch = sketches.cms_build(items)
+    exact = items.groupBy("key").agg(F.count("*").alias("exact_cnt"))
+    est = sketches.cms_estimate(sketch, exact.select("key"))
+    bad = exact.join(est, "key").filter("cms_cnt < exact_cnt").count()
+    assert bad == 0
+
+
+def test_cms_sketch_is_bounded_and_positive(spark):
+    sketch = sketches.cms_build(_items(spark).select("key")).collect()
+    assert len(sketch) <= sketches.CMS_D * sketches.CMS_W
+    assert all(r.cnt > 0 for r in sketch)
+    assert all(0 <= r.cell < sketches.CMS_W for r in sketch)
+
+
+def test_cms_merges_by_cellwise_sum(spark):
+    """The sketch of a union equals the cell-wise sum of the shard
+    sketches — the property that makes per-round/per-shard maintenance
+    free at 100 TB."""
+    items = _items(spark)
+    a = items.filter("event_id % 2 = 0").select("key")
+    b = items.filter("event_id % 2 = 1").select("key")
+    merged = (
+        sketches.cms_build(a)
+        .unionByName(sketches.cms_build(b))
+        .groupBy("d", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = sketches.cms_build(items.select("key"))
+    sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_cms_heavy_hitters_finds_hot_host(spark):
+    out = sketches.cms_heavy_hitters(spark, SF_DIR).collect()
+    assert out, "the planted ~35% hot host must qualify"
+    assert out[0].host == "site0"  # hottest by construction
+    assert all(r.overcount >= 0 for r in out)
+
+
+def test_cms_oracle_matches(spark):
+    from tests.oracle_check import assert_matches
+
+    df = sketches.QUERIES["cms_heavy_hitters"](spark, SF_DIR)
+    assert_matches(
+        df, sketches.ORACLE_SQL["cms_heavy_hitters"], SF_DIR,
+        "cms_heavy_hitters",
+    )
