@@ -29,6 +29,7 @@ from llm_scraper_spark.operators import (
     reference_parity,
     relational,
     scrub,
+    search,
     similarity,
     sketches,
     snapshots,
@@ -64,6 +65,7 @@ _MODULES = (
     similarity,
     pq,
     textstats,
+    search,
     tokenizer,
     curation,
     scrub,
