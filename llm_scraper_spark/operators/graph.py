@@ -409,6 +409,109 @@ def domain_rank(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: TrustRank trusted seed set: the first TR_SEEDS host ids (a real
+#: deployment curates this list by hand — it is tiny by definition,
+#: which is what makes the trust-vector join broadcastable at any
+#: corpus size).
+TR_SEEDS = 3
+
+
+def trust_weighted_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = DG_ITERS
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen — VLDB '04):
+    PageRank with the teleport vector concentrated on a hand-curated
+    trusted seed set instead of uniform — trust flows out from the
+    seeds along links, so spam hosts that merely link-farm INTO good
+    hosts acquire no score.  The crawl scheduler uses it as the
+    spam-resistant twin of `domain_rank` (prioritize frontier URLs by
+    the trust of the linking host).
+
+    Same fixed-point integer discipline as `weighted_pagerank` —
+    per-edge ``rank·w div w_out``, damped, order-independent — with
+    two changes: the per-iteration base term is ``(1−d)·SCALE div
+    n_seeds`` ON SEEDS ONLY (zero elsewhere), and the start vector is
+    the trust vector itself.  ``seeds`` is a (v) frame, broadcast —
+    trusted seed lists are small by construction.
+
+    Scale shape identical to `weighted_pagerank`: w_out joined once
+    and persisted, one O(edges) join + sum per iteration, linear
+    lineage."""
+    from pyspark.storagelevel import StorageLevel
+
+    n_seeds = seeds.count()  # scalar: curated list, bounded by definition
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .join(
+            F.broadcast(seeds.selectExpr("v", "true AS is_seed")),
+            "v",
+            "left",
+        )
+        .select("v", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if n_seeds == 0 or verts.limit(1).count() == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "v long, trust_units long"
+        )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edges.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    base = (100 - PR_DAMP_PCT) * PR_SCALE // (100 * n_seeds)
+    ranks = verts.select(
+        "v",
+        F.expr(f"if(is_seed, {PR_SCALE // n_seeds}L, 0L)").alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .select("dst", F.expr("r * w div wout").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(contrib, verts.v == contrib.dst, "left").select(
+            "v",
+            (
+                F.expr(f"if(is_seed, {base}L, 0L)")
+                + F.expr(f"{PR_DAMP_PCT} * coalesce(s, 0L) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("v", F.col("r").alias("trust_units"))
+
+
+def trustrank_topk(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: TrustRank over the host graph, seeds = the first
+    TR_SEEDS hosts, ordered (trust desc, host)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    he = host_graph(docs).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    seeds = spark.range(TR_SEEDS).selectExpr("id AS v")
+    return (
+        trust_weighted_pagerank(he, seeds)
+        .select(F.col("v").alias("host"), "trust_units")
+        .orderBy(F.desc("trust_units"), "host")
+    )
+
+
+def _tr_iter_sql(i: int) -> str:
+    base = f"{100 - PR_DAMP_PCT} * {PR_SCALE} // (100 * {TR_SEEDS})"
+    return f"""
+    tc{i} AS (
+      SELECT he.dst AS v, sum(t{i - 1}.r * he.w // wout.wo) AS s
+      FROM he JOIN t{i - 1} ON he.src = t{i - 1}.v
+              JOIN wout ON he.src = wout.src
+      GROUP BY he.dst),
+    t{i} AS (
+      SELECT vs.v,
+             CAST((CASE WHEN vs.v < {TR_SEEDS} THEN {base} ELSE 0 END)
+                  + ({PR_DAMP_PCT} * coalesce(tc{i}.s, 0) // 100) AS BIGINT) AS r
+      FROM vs LEFT JOIN tc{i} ON vs.v = tc{i}.v)"""
+
+
 def _wpr_iter_sql(i: int) -> str:
     return f"""
     wc{i} AS (
@@ -456,6 +559,21 @@ ORACLE_SQL = {
         SELECT v AS host, CAST(r AS BIGINT) AS rank_units
         FROM r{DG_ITERS}
         ORDER BY rank_units DESC, host
+    """,
+    "trustrank_topk": f"""
+        WITH {_HOST_GRAPH_DUCK},
+        vs AS (SELECT DISTINCT v FROM
+                 (SELECT src AS v FROM he UNION ALL SELECT dst FROM he)),
+        wout AS (SELECT src, sum(w) AS wo FROM he GROUP BY src),
+        t0 AS (SELECT v,
+                      CAST(CASE WHEN v < {TR_SEEDS}
+                                THEN {PR_SCALE} // {TR_SEEDS}
+                                ELSE 0 END AS BIGINT) AS r
+               FROM vs),
+        {",".join(_tr_iter_sql(i) for i in range(1, DG_ITERS + 1))}
+        SELECT v AS host, CAST(r AS BIGINT) AS trust_units
+        FROM t{DG_ITERS}
+        ORDER BY trust_units DESC, host
     """,
     "link_pagerank_topk": f"""
         WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -511,4 +629,5 @@ QUERIES = {
     "kg_triangle_count": kg_triangle_count,
     "host_graph_edges": host_graph_edges,
     "domain_rank": domain_rank,
+    "trustrank_topk": trustrank_topk,
 }

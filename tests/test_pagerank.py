@@ -120,3 +120,62 @@ def test_weighted_pagerank_matches_python_oracle_on_skewed_graph(spark):
     expect = _python_weighted_pagerank(edges, graph.DG_ITERS)
     assert got == expect
     assert max(got, key=got.get) == 9
+
+
+def _python_trustrank(edges, seeds, nverts, iters):
+    """Plain-int TrustRank oracle: edges = [(src, dst, w)]."""
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    n_seeds = len(seeds)
+    base = (100 - graph.PR_DAMP_PCT) * graph.PR_SCALE // (100 * n_seeds)
+    r = {
+        v: (graph.PR_SCALE // n_seeds if v in seeds else 0)
+        for v in range(nverts)
+    }
+    for _ in range(iters):
+        s = {v: 0 for v in range(nverts)}
+        for src, dst, w in edges:
+            s[dst] += r[src] * w // wout[src]
+        r = {
+            v: (base if v in seeds else 0) + graph.PR_DAMP_PCT * s[v] // 100
+            for v in range(nverts)
+        }
+    return r
+
+
+def test_trustrank_matches_duckdb(spark):
+    assert_matches(
+        graph.QUERIES["trustrank_topk"](spark, SF_DIR),
+        graph.ORACLE_SQL["trustrank_topk"],
+        SF_DIR,
+        "trustrank_topk",
+    )
+
+
+def test_trustrank_starves_spam_farm(spark):
+    """Hand graph: trusted component {0,1,2} links among itself; a
+    spam farm {3,4} links INTO the trusted hosts (classic link spam)
+    but receives nothing from them — so it must end with zero trust,
+    while plain weighted PageRank would happily rank it."""
+    edges = [
+        (0, 1, 5), (1, 2, 5), (2, 0, 5),       # trusted cycle
+        (3, 0, 50), (4, 0, 50), (3, 4, 1), (4, 3, 1),  # spam farm
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "v long")
+    got = {
+        r.v: r.trust_units
+        for r in graph.trust_weighted_pagerank(edf, seeds).collect()
+    }
+    expect = _python_trustrank(edges, {0, 1, 2}, 5, graph.DG_ITERS)
+    assert got == expect
+    assert all(got[v] > 0 for v in (0, 1, 2))
+    spam_max = max(got[3], got[4])
+    assert spam_max * 10 < min(got[v] for v in (0, 1, 2))
+
+
+def test_trustrank_empty_seed_set_is_empty(spark):
+    edf = spark.createDataFrame([(0, 1, 1)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([], "v long")
+    assert graph.trust_weighted_pagerank(edf, seeds).count() == 0
