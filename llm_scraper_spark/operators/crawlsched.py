@@ -43,6 +43,18 @@ whatever URL string it sees) never has to solve:
   Poisson estimator, integer-exact in both engines.  One groupBy over
   the log; output is one row per URL.
 
+* **Crawl-budget allocation** (`crawl_budget_allocation`) — divide a
+  round's global politeness budget (G URL fetches) across hosts in
+  proportion to their `graph.domain_rank` score with EXACT total: the
+  Hamilton / largest-remainder apportionment.  ``base_i = G·r_i div
+  Σr`` floors every share; the ``G − Σbase`` leftover units go to the
+  hosts with the largest division remainders (ties broken on host id)
+  — so ``Σ budget_i == G`` exactly, every budget is ``base`` or
+  ``base+1``, and both engines agree bit-for-bit because nothing is
+  rounded in floating point.  Scale shape: one scalar-total broadcast
+  + one window over HOSTS (domains, not pages — bounded at any corpus
+  size, the same host-bounded argument as the robots rule table).
+
 All synthetic inputs derive from ``documents``/``events`` with integer
 arithmetic mirrored in the DuckDB twins (no external data).
 """
@@ -315,6 +327,57 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- crawl budget
+BUDGET_G = 10_000  # URL fetches per round to apportion across hosts
+
+
+def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``total_budget``
+    units over a ``(host, rank_units)`` frame: floor shares first,
+    then one unit each to the largest remainders until the total is
+    exact.  All-integer, deterministic (remainder desc, host asc).
+
+    The window runs over hosts — a bounded set at any corpus scale —
+    and the two scalar aggregates (Σrank, Σbase) broadcast."""
+    from pyspark.sql import Window
+
+    totals = ranked.agg(
+        F.sum("rank_units").cast("long").alias("total_rank")
+    )
+    based = (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(F.col("total_rank") > 0)
+        .selectExpr(
+            "host",
+            "rank_units",
+            f"{total_budget}L * rank_units div total_rank AS base",
+            f"({total_budget}L * rank_units) % total_rank AS rem",
+        )
+    )
+    leftover = based.agg(
+        (F.lit(total_budget) - F.sum("base")).cast("long").alias("left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        based.withColumn("pos", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(leftover))
+        .selectExpr(
+            "host",
+            "rank_units",
+            "base + if(pos <= left, 1L, 0L) AS budget",
+        )
+    )
+
+
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: apportion BUDGET_G fetches across the host graph
+    by domain rank; Σbudget == BUDGET_G exactly."""
+    from llm_scraper_spark.operators.graph import domain_rank
+
+    ranked = domain_rank(spark, sf_dir)
+    return allocate_budget(ranked, BUDGET_G).orderBy("host")
+
+
 # --------------------------------------------------------------- anchors
 ANCHOR_TOPK = 3
 ANCHOR_FANOUT = 4
@@ -561,9 +624,52 @@ ORACLE_SQL = {
     """,
 }
 
+def _budget_oracle() -> str:
+    """Twin: re-derive domain_rank via graph.py's shared CTE pieces,
+    then apportion — one SQL template, no drift."""
+    from llm_scraper_spark.operators.graph import (
+        _HOST_GRAPH_DUCK,
+        _wpr_iter_sql,
+        DG_ITERS,
+        PR_SCALE,
+    )
+
+    return f"""
+        WITH {_HOST_GRAPH_DUCK},
+        vs AS (SELECT DISTINCT v FROM
+                 (SELECT src AS v FROM he UNION ALL SELECT dst FROM he)),
+        nnv AS (SELECT count(*) AS nv FROM vs),
+        wout AS (SELECT src, sum(w) AS wo FROM he GROUP BY src),
+        r0 AS (SELECT v, CAST({PR_SCALE} // (SELECT nv FROM nnv) AS BIGINT) AS r
+               FROM vs),
+        {",".join(_wpr_iter_sql(i) for i in range(1, DG_ITERS + 1))},
+        ranked AS (
+          SELECT v AS host, CAST(r AS BIGINT) AS rank_units
+          FROM r{DG_ITERS}),
+        tot AS (SELECT CAST(sum(rank_units) AS BIGINT) AS total_rank
+                FROM ranked),
+        based AS (
+          SELECT host, rank_units,
+                 {BUDGET_G} * rank_units // total_rank AS base,
+                 ({BUDGET_G} * rank_units) % total_rank AS rem
+          FROM ranked CROSS JOIN tot WHERE total_rank > 0),
+        lo AS (SELECT {BUDGET_G} - sum(base) AS leftover FROM based),
+        pos AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS pos
+          FROM based)
+        SELECT host, rank_units,
+               CAST(base + CASE WHEN pos <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS budget
+        FROM pos CROSS JOIN lo ORDER BY host
+    """
+
+
+ORACLE_SQL["crawl_budget_allocation"] = _budget_oracle()
+
 QUERIES = {
     "dust_rules": dust_rules,
     "hits_topk": hits_topk,
     "recrawl_schedule": recrawl_schedule,
     "anchor_text_topk": anchor_text_topk,
+    "crawl_budget_allocation": crawl_budget_allocation,
 }

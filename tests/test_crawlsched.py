@@ -100,3 +100,33 @@ def test_anchor_topk_shape_and_budget(spark):
         sum(rs[0]["in_links"] for rs in per_doc.values())
         <= n_docs * ANCHOR_FANOUT
     )
+
+
+def test_budget_allocation_is_exact_hamilton(spark):
+    """Σbudget == G exactly; every budget ∈ {base, base+1}; the +1s go
+    to the largest remainders — checked against a plain-int oracle on
+    a skewed hand rank table."""
+    from llm_scraper_spark.operators.crawlsched import allocate_budget
+
+    ranks = [(0, 700), (1, 150), (2, 100), (3, 35), (4, 10), (5, 5)]
+    g = 333
+    df = spark.createDataFrame(ranks, "host long, rank_units long")
+    got = {r.host: r.budget for r in allocate_budget(df, g).collect()}
+    # plain-int Hamilton oracle
+    total = sum(r for _, r in ranks)
+    base = {h: g * r // total for h, r in ranks}
+    rem = {h: (g * r) % total for h, r in ranks}
+    left = g - sum(base.values())
+    order = sorted(ranks, key=lambda hr: (-rem[hr[0]], hr[0]))
+    expect = dict(base)
+    for h, _ in order[:left]:
+        expect[h] += 1
+    assert got == expect
+    assert sum(got.values()) == g
+
+
+def test_budget_allocation_zero_total_rank_is_empty(spark):
+    from llm_scraper_spark.operators.crawlsched import allocate_budget
+
+    df = spark.createDataFrame([(0, 0), (1, 0)], "host long, rank_units long")
+    assert allocate_budget(df, 100).count() == 0
