@@ -49,6 +49,8 @@ BNLJ_JUSTIFIED = {
     "corpus_source_mix": "1-row corpus-total aggregate",
     "hits_topk": "1-row per-iteration max-rescale aggregates (HITS fixpoint)",
     "corpus_len_histogram": "1-row corpus-total aggregate",
+    "bm25_topk": "1-row (n_docs, total_dl) corpus-stats aggregate",
+    "crawl_budget_allocation": "two 1-row aggregates (Σrank, leftover)",
 }
 
 
