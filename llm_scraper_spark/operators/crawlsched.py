@@ -327,6 +327,56 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ DUST apply
+#: minimum rewrite-context length: 1-char middles (the http/https 's')
+#: are real DUST output but unsafe for context-free string replace —
+#: scheme normalization is the URL canonicalizer's job
+#: (functions/urls.py); the paper's full system keeps positional
+#: context per rule, this operator keeps only rules whose middle is
+#: long enough to be positionally unambiguous.
+DUST_MIN_BETA = 4
+
+
+def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mined DUST rules back to the URL universe — the
+    second half of Bar-Yossef's loop (mine on round N's fetch output,
+    canonicalize round N+1's frontier BEFORE fetching): for each URL,
+    the highest-support applicable rule (support desc, alpha, beta
+    tie-break) rewrites ``beta → alpha`` (toward the lexicographically
+    smaller spelling, so alias families converge); URLs matching no
+    rule pass through.
+
+    Scale shape: the rule table is support-filtered output of
+    systematic site templates — it grows with the number of
+    TEMPLATES, not URLs — so the containment join broadcasts it; the
+    per-URL best-rule pick is a window partitioned by url (group size
+    = matching rules, bounded by the rule table).  The containment
+    predicate itself is row-local codegen over the broadcast."""
+    from pyspark.sql import Window
+
+    rules = dust_rules(spark, sf_dir).filter(
+        F.length("beta") >= DUST_MIN_BETA
+    )
+    urls = _alias_urls(_docs(spark, sf_dir)).select("url").distinct()
+    cand = urls.join(
+        F.broadcast(rules), F.expr("contains(url, beta)"), "left"
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.expr("coalesce(support, -1L)").desc(), F.asc("alpha"), F.asc("beta")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "url",
+            "if(beta IS NOT NULL, replace(url, beta, alpha), url)"
+            " AS canon_url",
+            "beta IS NOT NULL AS rewritten",
+        )
+        .orderBy("url")
+    )
+
+
 # ---------------------------------------------------------- crawl budget
 BUDGET_G = 10_000  # URL fetches per round to apportion across hosts
 
@@ -666,10 +716,32 @@ def _budget_oracle() -> str:
 
 ORACLE_SQL["crawl_budget_allocation"] = _budget_oracle()
 
+ORACLE_SQL["dust_apply"] = f"""
+        WITH rules AS (
+          SELECT * FROM ({ORACLE_SQL["dust_rules"]})
+          WHERE length(beta) >= {DUST_MIN_BETA}),
+        {_URLS_DUCK},
+        u AS (SELECT DISTINCT url FROM urls),
+        cand AS (
+          SELECT u.url, r.alpha, r.beta, r.support
+          FROM u LEFT JOIN rules r ON contains(u.url, r.beta)),
+        best AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY url
+            ORDER BY coalesce(support, -1) DESC, alpha, beta) AS rk
+          FROM cand)
+        SELECT url,
+               CASE WHEN beta IS NOT NULL THEN replace(url, beta, alpha)
+                    ELSE url END AS canon_url,
+               beta IS NOT NULL AS rewritten
+        FROM best WHERE rk = 1 ORDER BY url
+"""
+
 QUERIES = {
     "dust_rules": dust_rules,
     "hits_topk": hits_topk,
     "recrawl_schedule": recrawl_schedule,
     "anchor_text_topk": anchor_text_topk,
     "crawl_budget_allocation": crawl_budget_allocation,
+    "dust_apply": dust_apply,
 }

@@ -130,3 +130,24 @@ def test_budget_allocation_zero_total_rank_is_empty(spark):
 
     df = spark.createDataFrame([(0, 0), (1, 0)], "host long, rank_units long")
     assert allocate_budget(df, 100).count() == 0
+
+
+def test_dust_apply_converges_alias_families(spark):
+    """Applying the mined rules collapses the systematic alias
+    spellings: every index.html / ?sid variant rewrites to a spelling
+    already in the universe, shrinking the distinct-URL count."""
+    from llm_scraper_spark.operators.crawlsched import dust_apply
+
+    out = dust_apply(spark, SF_DIR).collect()
+    urls = {r.url for r in out}
+    canon = {r.canon_url for r in out}
+    assert len(canon) < len(urls)
+    rewritten = {r.url: r.canon_url for r in out if r.rewritten}
+    assert rewritten, "systematic rules must fire"
+    for u, c in rewritten.items():
+        assert "index.html" in u or "?sid=" in u
+        assert "index.html" not in c and "?sid=" not in c
+    # untouched URLs pass through verbatim
+    for r in out:
+        if not r.rewritten:
+            assert r.canon_url == r.url

@@ -51,6 +51,10 @@ BNLJ_JUSTIFIED = {
     "corpus_len_histogram": "1-row corpus-total aggregate",
     "bm25_topk": "1-row (n_docs, total_dl) corpus-stats aggregate",
     "crawl_budget_allocation": "two 1-row aggregates (Σrank, leftover)",
+    "dust_apply": (
+        "support-filtered mined rule table — grows with site TEMPLATES, "
+        "not URLs; containment join has no equi-key by nature"
+    ),
 }
 
 
