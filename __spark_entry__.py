@@ -34,6 +34,7 @@ from llm_scraper_spark.operators import (
     sketches,
     snapshots,
     spans,
+    sq8,
     textstats,
     tokenizer,
     tpch_extra,
@@ -64,6 +65,7 @@ _MODULES = (
     centrality,
     similarity,
     pq,
+    sq8,
     textstats,
     search,
     tokenizer,

@@ -45,6 +45,7 @@ BNLJ_JUSTIFIED = {
     "lang_sampling_weights": "1-row weight-total aggregate broadcast",
     "ann_recall_eval": "composes sim_bruteforce_topk + ann_ivf_topk",
     "ann_pq_topk": "N_QUERIES(=10)-row broadcast distance-table frame (ADC scan)",
+    "ann_sq8_topk": "N_QUERIES(=10)-row broadcast query set (SQ8 ADC scan)",
     "ann_pq_recall": "composes sim_bruteforce_topk + ann_pq_topk",
     "corpus_source_mix": "1-row corpus-total aggregate",
     "hits_topk": "1-row per-iteration max-rescale aggregates (HITS fixpoint)",
