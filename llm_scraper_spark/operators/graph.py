@@ -497,6 +497,59 @@ def trustrank_topk(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def seed_expansion_cocite(spark, sf_dir: str) -> DataFrame:
+    """Focused-crawl seed expansion by outlink co-citation: rank every
+    non-seed host against every trusted seed by the Jaccard similarity
+    of their OUTLINK sets (hosts that link to the same places as a
+    curated seed are the next hosts worth crawling — the classic
+    companion signal to TrustRank's forward propagation; cf.
+    Kleinberg's co-citation basis for HITS).  Fixed-point
+    ``jaccard_units = |∩|·SCALE div |∪|`` — integer-exact cross-engine.
+
+    Scale shape: the intersection comes from one self-join of the
+    host-graph edge list on the SHARED DESTINATION (O(Σ per-dst
+    host-pair fanout) — bounded here because both sides are HOST-level
+    rollups; a page-level co-citation would cap per-dst in-degree
+    first, same discipline as dedup.MAX_BUCKET), one groupBy to count,
+    and a broadcast of the seed-host outdegree table (seed lists are
+    tiny by definition)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = host_graph(docs).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.countDistinct("dst").cast("long").alias("outdeg")
+    )
+    seeds = edges.filter(F.col("src") < TR_SEEDS)
+    inter = (
+        edges.filter(F.col("src") >= TR_SEEDS)
+        .join(
+            F.broadcast(seeds.select(F.col("src").alias("seed"), "dst")),
+            "dst",
+        )
+        .groupBy("src", "seed")
+        .agg(F.count("*").cast("long").alias("inter_links"))
+    )
+    return (
+        inter.join(outdeg, "src")
+        .join(
+            F.broadcast(
+                outdeg.selectExpr("src AS seed", "outdeg AS seed_outdeg")
+            ),
+            "seed",
+        )
+        .selectExpr(
+            "src AS host",
+            "seed",
+            "inter_links",
+            "outdeg + seed_outdeg - inter_links AS union_links",
+            f"inter_links * {PR_SCALE}L"
+            " div (outdeg + seed_outdeg - inter_links) AS jaccard_units",
+        )
+        .orderBy(F.desc("jaccard_units"), "host", "seed")
+    )
+
+
 def _tr_iter_sql(i: int) -> str:
     base = f"{100 - PR_DAMP_PCT} * {PR_SCALE} // (100 * {TR_SEEDS})"
     return f"""
@@ -559,6 +612,27 @@ ORACLE_SQL = {
         SELECT v AS host, CAST(r AS BIGINT) AS rank_units
         FROM r{DG_ITERS}
         ORDER BY rank_units DESC, host
+    """,
+    "seed_expansion_cocite": f"""
+        WITH {_HOST_GRAPH_DUCK},
+        e AS (SELECT DISTINCT src, dst FROM he),
+        outdeg AS (
+          SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS outdeg
+          FROM e GROUP BY src),
+        inter AS (
+          SELECT c.src, s.src AS seed,
+                 CAST(count(*) AS BIGINT) AS inter_links
+          FROM e c JOIN e s ON c.dst = s.dst
+          WHERE c.src >= {TR_SEEDS} AND s.src < {TR_SEEDS}
+          GROUP BY c.src, s.src)
+        SELECT i.src AS host, i.seed, i.inter_links,
+               o.outdeg + so.outdeg - i.inter_links AS union_links,
+               i.inter_links * {PR_SCALE}
+                 // (o.outdeg + so.outdeg - i.inter_links) AS jaccard_units
+        FROM inter i
+        JOIN outdeg o ON i.src = o.src
+        JOIN outdeg so ON i.seed = so.src
+        ORDER BY jaccard_units DESC, host, seed
     """,
     "trustrank_topk": f"""
         WITH {_HOST_GRAPH_DUCK},
@@ -630,4 +704,5 @@ QUERIES = {
     "host_graph_edges": host_graph_edges,
     "domain_rank": domain_rank,
     "trustrank_topk": trustrank_topk,
+    "seed_expansion_cocite": seed_expansion_cocite,
 }

@@ -179,3 +179,34 @@ def test_trustrank_empty_seed_set_is_empty(spark):
     edf = spark.createDataFrame([(0, 1, 1)], "src long, dst long, w long")
     seeds = spark.createDataFrame([], "v long")
     assert graph.trust_weighted_pagerank(edf, seeds).count() == 0
+
+
+def test_seed_expansion_jaccard_bounds_and_exclusions(spark):
+    """Jaccard ∈ (0, SCALE]; seeds never appear as expansion hosts;
+    a hand-check of one pair against python sets."""
+    out = graph.QUERIES["seed_expansion_cocite"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.host >= graph.TR_SEEDS and 0 <= r.seed < graph.TR_SEEDS
+        assert 0 < r.jaccard_units <= graph.PR_SCALE
+        assert r.inter_links <= r.union_links
+    # independent set-arithmetic check of the top row
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    edges = graph.host_graph(docs).collect()
+    outs = {}
+    for e in edges:
+        outs.setdefault(e.src_host, set()).add(e.dst_host)
+    top = out[0]
+    inter = len(outs[top.host] & outs[top.seed])
+    union = len(outs[top.host] | outs[top.seed])
+    assert top.inter_links == inter and top.union_links == union
+    assert top.jaccard_units == inter * graph.PR_SCALE // union
+
+
+def test_seed_expansion_matches_duckdb(spark):
+    assert_matches(
+        graph.QUERIES["seed_expansion_cocite"](spark, SF_DIR),
+        graph.ORACLE_SQL["seed_expansion_cocite"],
+        SF_DIR,
+        "seed_expansion_cocite",
+    )
