@@ -323,7 +323,84 @@ def robots_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ redirect chains
+#: pointer-doubling rounds: resolves chains up to 2^ROUNDS hops —
+#: covers the synthetic 15-hop worst case with one round to spare
+RED_ROUNDS = 4
+RED_BLOCK = 16  # synthetic chain block: 16k+j → 16k+j−1, 16k is final
+
+
+def resolve_redirects(edges: DataFrame, rounds: int = RED_ROUNDS) -> DataFrame:
+    """Resolve every redirect source to its FINAL target with hop
+    count, by pointer doubling: each round self-joins the current
+    pointer table on (my target = your source), composing pointers so
+    resolved depth doubles per round — chains up to 2^rounds hops
+    settle in `rounds` O(edges) equi-joins, the standard log-round
+    trick (same family as dedup.py's large-star/small-star CC).  A
+    3xx-heavy crawl needs this: fetch the final spelling once, credit
+    every alias (RFC 9110 allows chains; real crawls see 5-10 hops).
+
+    Raises on non-convergence (a pointer still lands on a source
+    after `rounds` doublings: an over-long chain or a redirect LOOP)
+    rather than returning partial targets — same contract as
+    dedup_clusters.  Input ``(src, dst)``; output ``(url_id,
+    final_id, hops)``."""
+    ptr = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    for _ in range(rounds):
+        nxt = ptr.selectExpr(
+            "src AS j_src", "dst AS j_dst", "hops AS j_hops"
+        )
+        ptr = (
+            ptr.join(nxt, ptr.dst == nxt.j_src, "left")
+            .selectExpr(
+                "src",
+                "coalesce(j_dst, dst) AS dst",
+                "hops + coalesce(j_hops, 0L) AS hops",
+            )
+            .localCheckpoint(eager=True)
+        )
+    unresolved = (
+        ptr.join(
+            edges.select(F.col("src").alias("chk")).distinct(),
+            ptr.dst == F.col("chk"),
+            "left_semi",
+        ).limit(1).count()
+    )
+    if unresolved:
+        raise RuntimeError(
+            "redirect chain longer than 2^rounds hops or a redirect "
+            "loop — raise rounds or break the cycle"
+        )
+    return ptr.selectExpr("src AS url_id", "dst AS final_id", "hops")
+
+
+def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: resolve the synthetic per-block redirect chains
+    (16k+j → 16k+j−1 → … → 16k); by construction hops == url_id −
+    final_id, which the twin certifies value-by-value."""
+    edges = (
+        _docs(spark, sf_dir)
+        .filter(F.expr(f"doc_id % {RED_BLOCK} <> 0"))
+        .selectExpr("doc_id AS src", "doc_id - 1 AS dst")
+    )
+    return resolve_redirects(edges).orderBy("url_id")
+
+
 ORACLE_SQL = {
+    "redirect_resolve": f"""
+        WITH r0 AS (
+          SELECT doc_id AS src, doc_id - 1 AS dst, CAST(1 AS BIGINT) AS hops
+          FROM documents WHERE doc_id % {RED_BLOCK} <> 0),
+        {",".join(
+            f'''r{i} AS (
+          SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+                 a.hops + coalesce(b.hops, 0) AS hops
+          FROM r{i - 1} a LEFT JOIN r{i - 1} b ON a.dst = b.src)'''
+            for i in range(1, RED_ROUNDS + 1)
+        )}
+        SELECT src AS url_id, dst AS final_id, CAST(hops AS BIGINT) AS hops
+        FROM r{RED_ROUNDS} ORDER BY url_id
+    """,
     "robots_roundtrip": """
         WITH rules AS (
           SELECT 'site' || hk || '.example.com' AS host,
@@ -409,6 +486,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "redirect_resolve": redirect_resolve,
     "robots_roundtrip": robots_roundtrip,
     "url_trap_flags": url_trap_flags,
     "sitemap_frontier_extract": sitemap_frontier_extract,

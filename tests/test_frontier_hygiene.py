@@ -136,3 +136,42 @@ def test_robots_codec_roundtrips_the_real_crawl_rules(spark):
             r["disallow_prefix"],
             r["crawl_delay_ms"],
         ), r["host"]
+
+
+def test_redirect_resolution_hand_chain_and_loop(spark):
+    """A 5-hop chain resolves to its terminal with exact hop counts;
+    a 2-cycle raises instead of returning wrong targets."""
+    from llm_scraper_spark.operators.frontier_hygiene import (
+        resolve_redirects,
+    )
+
+    chain = [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {
+        r.url_id: (r.final_id, r.hops)
+        for r in resolve_redirects(df).collect()
+    }
+    assert got == {5: (0, 5), 4: (0, 4), 3: (0, 3), 2: (0, 2), 1: (0, 1)}
+
+    loop = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="loop"):
+        resolve_redirects(loop)
+
+
+def test_redirect_resolve_hops_equal_id_gap(spark):
+    """The synthetic block construction guarantees hops == url_id −
+    final_id and final_id % BLOCK == 0 for every resolved row."""
+    from llm_scraper_spark.operators.frontier_hygiene import (
+        RED_BLOCK,
+        redirect_resolve,
+    )
+
+    out = redirect_resolve(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.final_id % RED_BLOCK == 0
+        assert r.hops == r.url_id - r.final_id
