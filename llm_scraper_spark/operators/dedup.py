@@ -408,6 +408,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- LSH quality
+EVAL_SCALE = 1_000_000
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the banded MinHash-LSH pair detector
+    against exhaustive n-gram Jaccard ground truth — the dedup twin of
+    `similarity.ann_recall_eval`: before trusting LSH at 100 TB
+    (where the exhaustive join is impossible) the pipeline quantifies
+    what the banding misses at a scale where truth is computable.
+    Pure composition of two existing queries; fixed-point percentages
+    (both engines divide the same longs).  Precision is 1.0 by
+    construction — candidates are exact-Jaccard-verified — so the row
+    doubles as a regression tripwire on that invariant."""
+    from pyspark.storagelevel import StorageLevel
+
+    # both pair lists are skinny (two longs) and consumed twice each
+    # (count + membership join) — persist so the heavy upstream
+    # pipelines run once, not per-aggregate
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lsh = (
+        _minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    flagged = truth.join(
+        lsh,
+        (F.col("doc_a") == F.col("l_a")) & (F.col("doc_b") == F.col("l_b")),
+        "left",
+    ).agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(F.expr("if(l_a IS NOT NULL, 1L, 0L)")).alias("n_hit"),
+    )
+    return (
+        flagged
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").cast("long").alias("n_lsh"))))
+        .selectExpr(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            f"if(n_true = 0, {EVAL_SCALE}L,"
+            f" n_hit * {EVAL_SCALE}L div n_true) AS recall_units",
+            f"if(n_lsh = 0, {EVAL_SCALE}L,"
+            f" n_hit * {EVAL_SCALE}L div n_lsh) AS precision_units",
+        )
+    )
+
+
 # ---------------------------------------------------------------- simhash
 #: 15-bit accumulator lanes: lane-group g holds bits {g, g+15, g+30,
 #: g+45} of the token hash, each already spaced 15 bits apart, so ONE
@@ -1058,8 +1110,33 @@ ORACLE_SQL["dedup_incremental"] = f"""
     ORDER BY batch_doc, corpus_doc
 """
 
+ORACLE_SQL["dedup_lsh_eval"] = f"""
+    WITH truth AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})),
+    lsh AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})),
+    h AS (
+      SELECT count(*) AS n_hit FROM truth
+      WHERE EXISTS (SELECT 1 FROM lsh
+                    WHERE lsh.doc_a = truth.doc_a
+                      AND lsh.doc_b = truth.doc_b)),
+    t AS (SELECT count(*) AS n_true FROM truth),
+    l AS (SELECT count(*) AS n_lsh FROM lsh)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_true = 0 THEN {EVAL_SCALE}
+                ELSE n_hit * {EVAL_SCALE} // n_true END AS BIGINT)
+             AS recall_units,
+           CAST(CASE WHEN n_lsh = 0 THEN {EVAL_SCALE}
+                ELSE n_hit * {EVAL_SCALE} // n_lsh END AS BIGINT)
+             AS precision_units
+    FROM t CROSS JOIN l CROSS JOIN h
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,

@@ -76,3 +76,17 @@ def test_incremental_finds_planted_cross_shard_dups(spark):
     for r in rows:
         assert r["corpus_doc"] % 10 != 0 and r["corpus_doc"] < INC_NEAR_ID
         assert r["batch_doc"] % 10 == 0 or r["batch_doc"] >= INC_NEAR_ID
+
+
+def test_lsh_eval_precision_is_exact_and_recall_full_here(spark):
+    """Precision is 1.0 by construction (candidates are exact-verified)
+    and on this corpus the 4-band/8-hash config catches every true
+    ≥0.5-Jaccard pair, so recall is 1.0 too — a regression tripwire on
+    both the banding and the verification."""
+    from llm_scraper_spark.operators.dedup import EVAL_SCALE, dedup_lsh_eval
+
+    row = dedup_lsh_eval(spark, SF_DIR).collect()[0]
+    assert row.n_true > 0
+    assert row.precision_units == EVAL_SCALE
+    assert row.recall_units == EVAL_SCALE
+    assert row.n_hit == row.n_true == row.n_lsh
