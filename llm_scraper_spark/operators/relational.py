@@ -334,6 +334,56 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+FUNNEL_SCALE = 1_000_000
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered event funnel over the events stream: users who
+    viewed, then clicked AFTER their first view, then purchased AFTER
+    that first qualifying click — the canonical product-analytics
+    funnel, one row out.  Each stage is one groupBy-min plus an
+    equi-join on user_id with the time bound riding as a range filter
+    (never a cartesian); conversion ratios are fixed-point integers.
+
+    Scale shape: stage frames shrink monotonically (viewers ⊇
+    clickers ⊇ purchasers); every join keys on user_id, so all three
+    stages co-partition on one exchange at scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter("event_type = 'click'")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("long").alias("n_viewed"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").cast("long").alias("n_clicked"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").cast("long").alias("n_purchased"))))
+        .selectExpr(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            f"if(n_viewed = 0, 0L, n_clicked * {FUNNEL_SCALE}L div n_viewed)"
+            " AS click_rate_units",
+            f"if(n_clicked = 0, 0L, n_purchased * {FUNNEL_SCALE}L div n_clicked)"
+            " AS purchase_rate_units",
+        )
+    )
+
+
 # ---------------------------------------------------------------- sorts
 def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (AQL SORT … LIMIT; O2) — TakeOrderedAndProject."""
@@ -629,6 +679,32 @@ ORACLE_SQL: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
     """,
+    "funnel_conversion": f"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id),
+        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_viewed FROM s1),
+        c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_clicked FROM s2),
+        c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_purchased FROM s3)
+        SELECT n_viewed, n_clicked, n_purchased,
+               CAST(CASE WHEN n_viewed = 0 THEN 0
+                    ELSE n_clicked * {FUNNEL_SCALE} // n_viewed END
+                    AS BIGINT) AS click_rate_units,
+               CAST(CASE WHEN n_clicked = 0 THEN 0
+                    ELSE n_purchased * {FUNNEL_SCALE} // n_clicked END
+                    AS BIGINT) AS purchase_rate_units
+        FROM c1 CROSS JOIN c2 CROSS JOIN c3
+    """,
     "j7_semi_join_membership": """
         SELECT l_returnflag,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -753,6 +829,7 @@ QUERIES = {
     "w2_politeness_slots": w2_politeness_slots,
     "o3_topk_per_group": o3_topk_per_group,
     "w_running_total": w_running_total,
+    "funnel_conversion": funnel_conversion,
     "o2_global_topk": o2_global_topk,
     "o4_seeded_sample": o4_seeded_sample,
     "u4_union_distinct": u4_union_distinct,

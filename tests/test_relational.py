@@ -13,3 +13,29 @@ def test_query_matches_oracle(spark, name):
     assert name in ORACLE_SQL, f"{name} missing oracle SQL"
     df = QUERIES[name](spark, SF_DIR)
     assert_matches(df, ORACLE_SQL[name], SF_DIR, name)
+
+
+def test_funnel_strict_ordering_on_hand_events(spark):
+    """User A completes the full funnel in order; user B purchases
+    BEFORE clicking (must not count); user C views only."""
+    from llm_scraper_spark.operators.relational import (
+        FUNNEL_SCALE,
+        funnel_conversion,
+    )
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        (3, "view", t(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    row = funnel_conversion(spark, d).collect()[0]
+    assert (row.n_viewed, row.n_clicked, row.n_purchased) == (3, 2, 1)
+    assert row.click_rate_units == 2 * FUNNEL_SCALE // 3
+    assert row.purchase_rate_units == FUNNEL_SCALE // 2
