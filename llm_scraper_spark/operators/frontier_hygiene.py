@@ -323,6 +323,92 @@ def robots_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- registered domains
+#: a miniature public-suffix table (the real PSL is ~10k rows — still
+#: a broadcast at any corpus size, which is the point).  Multi-label
+#: entries exercise the longest-match rule: "kyoto.jp" must beat "jp".
+PSL = ["com", "org", "net", "co.uk", "org.uk", "jp", "kyoto.jp"]
+#: synthetic host mix cycling through suffix families incl. multi-label
+_PSL_HOSTS = [
+    "shop{i}.example.com",
+    "blog{i}.example.co.uk",
+    "news{i}.example.org.uk",
+    "wiki{i}.temple.kyoto.jp",
+    "media{i}.example.jp",
+]
+
+
+def registered_domain_col(host: str = "host") -> str:
+    """SQL expr fragments are not enough here — longest-match needs the
+    suffix TABLE; see registered_domain_mix for the join form.  This
+    helper returns the label array expression both sides build on."""
+    return f"split({host}, '\\\\.')"
+
+
+def registered_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll crawled hosts up to REGISTERED domains under public-suffix
+    semantics: the effective TLD is the LONGEST suffix of the host
+    present in the suffix table (so ``a.example.co.uk`` groups under
+    ``example.co.uk``, not ``co.uk``/``uk``), and the registered
+    domain is one label more.  This is the grouping level public
+    crawl datasets publish (domain graphs, per-domain budgets) — a
+    naive "last two labels" rollup misclassifies every ccTLD host.
+
+    Scale shape: each host explodes into its label-suffixes (≤ label
+    count, bounded by hostname syntax), equi-joins the BROADCAST
+    suffix table (the full PSL is ~10k fixed rows), and a per-host
+    max-length pick resolves longest-match — row-bounded window.
+    Output: per registered domain, host and page counts."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.selectExpr(
+        "doc_id",
+        "concat(" + ", ".join(
+            f"if(doc_id % {len(_PSL_HOSTS)} = {i},"
+            f" concat('{t.split('{i}')[0]}', cast(doc_id % 7 as string),"
+            f" '{t.split('{i}')[1]}'), '')"
+            for i, t in enumerate(_PSL_HOSTS)
+        ) + ") AS host",
+    )
+    suffixes = spark.createDataFrame(
+        [(s, len(s.split("."))) for s in PSL], "suffix string, n_labels int"
+    )
+    cand = pages.selectExpr(
+        "doc_id",
+        "host",
+        f"size({registered_domain_col()}) AS n_host_labels",
+        f"explode(transform(sequence(1, size({registered_domain_col()})),"
+        f" k -> array_join(slice({registered_domain_col()},"
+        f" size({registered_domain_col()}) - k + 1, k), '.'))) AS cand_sfx",
+    ).join(
+        F.broadcast(suffixes),
+        F.col("cand_sfx") == F.col("suffix"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_labels"))
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        # registered domain = suffix plus one more label
+        .selectExpr(
+            "doc_id",
+            "host",
+            "if(n_host_labels > n_labels,"
+            " array_join(slice(split(host, '\\\\.'),"
+            " n_host_labels - n_labels, n_labels + 1), '.'),"
+            " host) AS reg_domain",
+        )
+    )
+    return (
+        best.groupBy("reg_domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").cast("long").alias("n_pages"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
 # ------------------------------------------------------ redirect chains
 #: pointer-doubling rounds: resolves chains up to 2^ROUNDS hops —
 #: covers the synthetic 15-hop worst case with one round to spare
@@ -386,7 +472,53 @@ def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges).orderBy("url_id")
 
 
+_PSL_HOST_DUCK = "CASE CAST(doc_id % 5 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{t.split('{i}')[0]}' || (doc_id % 7)"
+    f" || '{t.split('{i}')[1]}'"
+    for i, t in enumerate(_PSL_HOSTS[:-1])
+) + (
+    f" ELSE '{_PSL_HOSTS[-1].split('{i}')[0]}' || (doc_id % 7)"
+    f" || '{_PSL_HOSTS[-1].split('{i}')[1]}' END"
+)
+
+_PSL_DUCK = ", ".join(
+    f"('{s}', {len(s.split('.'))})" for s in PSL
+)
+
 ORACLE_SQL = {
+    "registered_domain_mix": f"""
+        WITH pages AS (
+          SELECT doc_id, {_PSL_HOST_DUCK} AS host FROM documents),
+        lab AS (
+          SELECT doc_id, host, string_split(host, '.') AS labels
+          FROM pages),
+        cand AS (
+          SELECT doc_id, host, len(labels) AS n_host_labels,
+                 array_to_string(
+                   labels[len(labels) - k + 1 : len(labels)], '.') AS cand_sfx
+          FROM lab CROSS JOIN (SELECT unnest(range(1, 8)) AS k) t
+          WHERE k <= len(labels)),
+        sfx AS (SELECT * FROM (VALUES {_PSL_DUCK}) s(suffix, n_labels)),
+        j AS (
+          SELECT c.doc_id, c.host, c.n_host_labels, s.n_labels
+          FROM cand c JOIN sfx s ON c.cand_sfx = s.suffix),
+        best AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY n_labels DESC) AS rk
+          FROM j),
+        reg AS (
+          SELECT doc_id, host,
+                 CASE WHEN n_host_labels > n_labels
+                      THEN array_to_string(
+                        string_split(host, '.')
+                          [n_host_labels - n_labels : n_host_labels], '.')
+                      ELSE host END AS reg_domain
+          FROM best WHERE rk = 1)
+        SELECT reg_domain,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM reg GROUP BY reg_domain ORDER BY reg_domain
+    """,
     "redirect_resolve": f"""
         WITH r0 AS (
           SELECT doc_id AS src, doc_id - 1 AS dst, CAST(1 AS BIGINT) AS hops
@@ -486,6 +618,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "registered_domain_mix": registered_domain_mix,
     "redirect_resolve": redirect_resolve,
     "robots_roundtrip": robots_roundtrip,
     "url_trap_flags": url_trap_flags,

@@ -175,3 +175,24 @@ def test_redirect_resolve_hops_equal_id_gap(spark):
     for r in out:
         assert r.final_id % RED_BLOCK == 0
         assert r.hops == r.url_id - r.final_id
+
+
+def test_registered_domain_longest_match_semantics(spark):
+    """kyoto.jp (2 labels) must beat jp: wiki hosts group under
+    temple.kyoto.jp, never kyoto.jp; co.uk hosts under example.co.uk."""
+    from llm_scraper_spark.operators.frontier_hygiene import (
+        registered_domain_mix,
+    )
+
+    out = {r.reg_domain: (r.n_hosts, r.n_pages)
+           for r in registered_domain_mix(spark, SF_DIR).collect()}
+    assert "temple.kyoto.jp" in out
+    assert "kyoto.jp" not in out          # longest match, plus one label
+    assert "example.co.uk" in out
+    assert "co.uk" not in out
+    assert "example.org.uk" in out
+    assert "example.com" in out
+    assert "example.jp" in out
+    # every wiki host (≤7 name variants) collapsed into one domain
+    n_hosts, n_pages = out["temple.kyoto.jp"]
+    assert n_hosts <= 7 and n_pages >= n_hosts
