@@ -428,6 +428,70 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_budget(ranked, BUDGET_G).orderBy("host")
 
 
+# ------------------------------------------------------ token bucket
+TB_CAP = 5      # bucket capacity (max burst per host)
+TB_REFILL = 3   # tokens refilled per elapsed slot
+TB_SLOT_S = 60  # slot width (seconds)
+
+
+def token_bucket_fold(requests: DataFrame) -> DataFrame:
+    """Per-host token-bucket admission over a slotted request log —
+    the crawler's politeness budget as an auditable ledger: slot k
+    starts with ``min(CAP, tokens_after_prev + elapsed_slots·REFILL)``
+    tokens (gap-aware refill: idle slots accumulate, capped), admits
+    ``min(arrivals, tokens)``, drops the rest.  A per-host SEQUENTIAL
+    recurrence — the one shape neither a closed-form window nor a
+    fixed unroll expresses — so it runs as applyInPandas: hosts
+    hash-partition across the cluster, each host's slot history folds
+    in one Arrow-batched vectorized pass (state = one int, never on
+    the driver).  The DuckDB twin is a genuine RECURSIVE CTE over the
+    same recurrence, so both engines walk the identical integer fold.
+
+    Input ``(host, slot, arrivals)`` (one row per host×slot with
+    traffic); output adds ``admitted, dropped, tokens_after``."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slot").reset_index(drop=True)
+        tokens = TB_CAP
+        prev_slot = None
+        adm, drp, left = [], [], []
+        for slot, arr in zip(pdf["slot"], pdf["arrivals"]):
+            if prev_slot is not None:
+                tokens = min(TB_CAP, tokens + (slot - prev_slot) * TB_REFILL)
+            a = min(arr, tokens)
+            tokens -= a
+            adm.append(a)
+            drp.append(arr - a)
+            left.append(tokens)
+            prev_slot = slot
+        pdf["admitted"] = adm
+        pdf["dropped"] = drp
+        pdf["tokens_after"] = left
+        return pdf
+
+    return requests.groupBy("host").applyInPandas(
+        fold,
+        "host long, slot long, arrivals long, admitted long,"
+        " dropped long, tokens_after long",
+    )
+
+
+def rate_limit_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate: token-bucket admission of the event stream slotted
+    per minute, host = user_id mod N_SITES."""
+    reqs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            f"user_id % {N_SITES} AS host",
+            f"cast(floor(unix_timestamp(ts) / {TB_SLOT_S}) as long) AS slot",
+        )
+        .groupBy("host", "slot")
+        .agg(F.count("*").cast("long").alias("arrivals"))
+    )
+    return token_bucket_fold(reqs).orderBy("host", "slot")
+
+
 # --------------------------------------------------------------- anchors
 ANCHOR_TOPK = 3
 ANCHOR_FANOUT = 4
@@ -716,6 +780,40 @@ def _budget_oracle() -> str:
 
 ORACLE_SQL["crawl_budget_allocation"] = _budget_oracle()
 
+ORACLE_SQL["rate_limit_admission"] = f"""
+        WITH RECURSIVE reqs AS (
+          SELECT user_id % {N_SITES} AS host,
+                 CAST(floor(epoch(ts) / {TB_SLOT_S}) AS BIGINT) AS slot,
+                 CAST(count(*) AS BIGINT) AS arrivals
+          FROM events GROUP BY 1, 2),
+        ordered AS (
+          SELECT *, row_number() OVER (PARTITION BY host ORDER BY slot)
+                   AS rn
+          FROM reqs),
+        fold AS (
+          SELECT host, slot, arrivals, rn,
+                 CAST(least(arrivals, {TB_CAP}) AS BIGINT) AS admitted,
+                 CAST({TB_CAP} - least(arrivals, {TB_CAP}) AS BIGINT)
+                   AS tokens_after
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.host, o.slot, o.arrivals, o.rn,
+                 CAST(least(o.arrivals,
+                   least({TB_CAP}, f.tokens_after
+                         + (o.slot - f.slot) * {TB_REFILL})) AS BIGINT),
+                 CAST(least({TB_CAP}, f.tokens_after
+                        + (o.slot - f.slot) * {TB_REFILL})
+                      - least(o.arrivals,
+                          least({TB_CAP}, f.tokens_after
+                                + (o.slot - f.slot) * {TB_REFILL}))
+                      AS BIGINT)
+          FROM ordered o JOIN fold f
+            ON o.host = f.host AND o.rn = f.rn + 1)
+        SELECT host, slot, arrivals, admitted,
+               arrivals - admitted AS dropped, tokens_after
+        FROM fold ORDER BY host, slot
+"""
+
 ORACLE_SQL["dust_apply"] = f"""
         WITH rules AS (
           SELECT * FROM ({ORACLE_SQL["dust_rules"]})
@@ -744,4 +842,5 @@ QUERIES = {
     "anchor_text_topk": anchor_text_topk,
     "crawl_budget_allocation": crawl_budget_allocation,
     "dust_apply": dust_apply,
+    "rate_limit_admission": rate_limit_admission,
 }

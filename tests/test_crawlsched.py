@@ -151,3 +151,41 @@ def test_dust_apply_converges_alias_families(spark):
     for r in out:
         if not r.rewritten:
             assert r.canon_url == r.url
+
+
+def test_token_bucket_hand_log(spark):
+    """Burst → starvation → gap-refill (capped) against a plain-int
+    oracle; conservation admitted + dropped == arrivals everywhere."""
+    from llm_scraper_spark.operators.crawlsched import (
+        TB_CAP,
+        TB_REFILL,
+        token_bucket_fold,
+    )
+
+    log = [
+        (1, 10, 8),   # burst over capacity: admit CAP=5, drop 3
+        (1, 11, 2),   # refill 3 -> 3 tokens, admit 2
+        (1, 15, 9),   # 4-slot gap: refill 12 capped at CAP, admit 5
+        (2, 10, 1),   # independent host
+    ]
+    df = spark.createDataFrame(log, "host long, slot long, arrivals long")
+    got = {
+        (r.host, r.slot): (r.admitted, r.dropped, r.tokens_after)
+        for r in token_bucket_fold(df).collect()
+    }
+    # plain-int oracle
+    expect = {}
+    state = {}
+    for h, s, a in sorted(log):
+        t, prev = state.get(h, (TB_CAP, None))
+        if prev is not None:
+            t = min(TB_CAP, t + (s - prev) * TB_REFILL)
+        adm = min(a, t)
+        expect[(h, s)] = (adm, a - adm, t - adm)
+        state[h] = (t - adm, s)
+    assert got == expect
+    assert got[(1, 10)] == (5, 3, 0)
+    assert got[(1, 15)] == (5, 4, 0)
+    for (h, s), (adm, drp, _) in got.items():
+        arr = dict(((x, y), z) for x, y, z in log)[(h, s)]
+        assert adm + drp == arr
