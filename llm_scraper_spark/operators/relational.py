@@ -384,6 +384,75 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the events' JSON props column
+    (``{"k": <int>}``) — the engine's JSON surface (the reference
+    reads JSON site configs and LLM JSON replies everywhere, e.g.
+    util/llm/llm_connector.py responses and config/*.json): per event
+    type, count/min/max/sum of the extracted integer.  Extraction is
+    ``get_json_object`` — row-local JVM codegen, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: partition fan the skew report simulates (a cluster-shuffle width)
+SKEW_PARTS = 32
+SKEW_SCALE = 1_000
+
+
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational skew audit for a planned shuffle: hash the shuffle
+    key (here: the crawl host of each document) into SKEW_PARTS
+    buckets exactly as a hash partitioner would and report each
+    bucket's row count plus the corpus-wide imbalance factor
+    ``max/avg`` in fixed-point — the number that predicts the straggler
+    task BEFORE the job runs.  One groupBy over row-local bucket ids;
+    output is O(partitions).  (The synthetic host key is ~35% hot —
+    same construction as the CMS stream — so the report shows real
+    imbalance, not a uniform strawman.)"""
+    docs = _t(spark, sf_dir, "documents")
+    buckets = (
+        docs.selectExpr(
+            "if(doc_id % 3 = 0, 'site0',"
+            " concat('site', cast(doc_id % 40 as string))) AS host"
+        )
+        .selectExpr(
+            f"cast(conv(substr(md5(host), 1, 15), 16, 10) as bigint)"
+            f" % {SKEW_PARTS} AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    totals = buckets.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.max("n_rows").cast("long").alias("mx"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "bucket",
+            "n_rows",
+            f"mx * {SKEW_SCALE}L * nb div total AS imbalance_units",
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------- sorts
 def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (AQL SORT … LIMIT; O2) — TakeOrderedAndProject."""
@@ -679,6 +748,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
     """,
+    "json_props_stats": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(k) AS BIGINT) AS k_min,
+               CAST(max(k) AS BIGINT) AS k_max,
+               CAST(sum(k) AS BIGINT) AS k_sum
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "shuffle_skew_report": f"""
+        WITH b AS (
+          SELECT CAST('0x' || substr(md5(
+                   CASE WHEN doc_id % 3 = 0 THEN 'site0'
+                        ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) END
+                 ), 1, 15) AS BIGINT) % {SKEW_PARTS} AS bucket
+          FROM documents),
+        c AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+          FROM b GROUP BY bucket),
+        t AS (
+          SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                 CAST(max(n_rows) AS BIGINT) AS mx,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM c)
+        SELECT bucket, n_rows,
+               mx * {SKEW_SCALE} * nb // total AS imbalance_units
+        FROM c CROSS JOIN t ORDER BY bucket
+    """,
     "funnel_conversion": f"""
         WITH s1 AS (
           SELECT user_id, min(ts) AS t1 FROM events
@@ -830,6 +931,8 @@ QUERIES = {
     "o3_topk_per_group": o3_topk_per_group,
     "w_running_total": w_running_total,
     "funnel_conversion": funnel_conversion,
+    "json_props_stats": json_props_stats,
+    "shuffle_skew_report": shuffle_skew_report,
     "o2_global_topk": o2_global_topk,
     "o4_seeded_sample": o4_seeded_sample,
     "u4_union_distinct": u4_union_distinct,

@@ -39,3 +39,28 @@ def test_funnel_strict_ordering_on_hand_events(spark):
     assert (row.n_viewed, row.n_clicked, row.n_purchased) == (3, 2, 1)
     assert row.click_rate_units == 2 * FUNNEL_SCALE // 3
     assert row.purchase_rate_units == FUNNEL_SCALE // 2
+
+
+def test_skew_report_shows_hot_bucket_and_conserves_rows(spark):
+    from llm_scraper_spark.operators.relational import (
+        SKEW_SCALE,
+        shuffle_skew_report,
+    )
+
+    out = shuffle_skew_report(spark, SF_DIR).collect()
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_rows for r in out) == docs_n
+    # one imbalance value corpus-wide, > 1.0 because of the hot host
+    imb = {r.imbalance_units for r in out}
+    assert len(imb) == 1
+    assert imb.pop() > SKEW_SCALE
+
+
+def test_json_props_extracts_every_row(spark):
+    from llm_scraper_spark.operators.relational import json_props_stats
+
+    out = json_props_stats(spark, SF_DIR).collect()
+    ev_n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n for r in out) == ev_n  # every props row parses
+    for r in out:
+        assert 0 <= r.k_min <= r.k_max
