@@ -342,18 +342,47 @@ def host_graph(docs) -> DataFrame:
     )
 
 
-def weighted_pagerank(edges: DataFrame, iters: int = DG_ITERS) -> DataFrame:
-    """Fixed-point integer PageRank over a WEIGHTED graph ``(src, dst,
-    w)``: each iteration a vertex passes ``rank·w div w_out`` along
-    every out-edge (per-edge integer div, so the sum is
-    order-independent and bit-exact cross-engine).  Same damping /
-    scale discipline as `link_pagerank`; vertices with no out-edges
-    drop their mass (the synthetic host graph has none — a production
-    caller redistributes dangling mass if its graph does).
+def _wpr_fixed_point(
+    edges: DataFrame, verts: DataFrame, init_expr: str, base_expr: str,
+    iters: int,
+) -> DataFrame:
+    """The shared weighted-PageRank fixed-point kernel: per iteration,
+    every vertex passes ``rank·w div w_out`` along its out-edges
+    (per-edge integer div → order-independent, bit-exact cross-engine),
+    then ``rank = base + damp·inflow div 100``.  The teleport policy is
+    the caller's: `init_expr` / `base_expr` are SQL over the `verts`
+    frame's columns — uniform for PageRank, seed-concentrated for
+    TrustRank.  Vertices with no out-edges drop their mass (the
+    synthetic host graph has none — a production caller redistributes
+    dangling mass if its graph does).
 
     Scale shape: ``w_out`` is joined onto the edge list ONCE
     (persisted — every iteration re-reads it), then each iteration is
     one O(edges) equi-join + sum.  Lineage stays linear in iters."""
+    from pyspark.storagelevel import StorageLevel
+
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edges.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = verts.selectExpr("v", f"cast(({init_expr}) as long) AS r")
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .select("dst", F.expr("r * w div wout").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(contrib, verts.v == contrib.dst, "left").selectExpr(
+            "v",
+            f"cast(({base_expr}) + {PR_DAMP_PCT} * coalesce(s, 0L) div 100"
+            " as long) AS r",
+        )
+    return ranks
+
+
+def weighted_pagerank(edges: DataFrame, iters: int = DG_ITERS) -> DataFrame:
+    """Fixed-point integer PageRank over a WEIGHTED graph ``(src, dst,
+    w)`` with the uniform teleport vector — see `_wpr_fixed_point` for
+    the shared kernel and its scale shape."""
     from pyspark.storagelevel import StorageLevel
 
     verts = (
@@ -365,24 +394,10 @@ def weighted_pagerank(edges: DataFrame, iters: int = DG_ITERS) -> DataFrame:
     nv = verts.count()  # scalar vertex count (bounded: hosts, not pages)
     if nv == 0:
         return edges.sparkSession.createDataFrame([], "v long, rank_units long")
-    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = edges.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
     base = (100 - PR_DAMP_PCT) * PR_SCALE // (100 * nv)
-    ranks = verts.select("v", F.lit(PR_SCALE // nv).cast("long").alias("r"))
-    for _ in range(iters):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.v)
-            .select("dst", F.expr("r * w div wout").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = verts.join(contrib, verts.v == contrib.dst, "left").select(
-            "v",
-            (
-                F.lit(base)
-                + F.expr(f"{PR_DAMP_PCT} * coalesce(s, 0L) div 100")
-            ).cast("long").alias("r"),
-        )
+    ranks = _wpr_fixed_point(
+        edges, verts, f"{PR_SCALE // nv}L", f"{base}L", iters
+    )
     return ranks.select("v", F.col("r").alias("rank_units"))
 
 
@@ -427,19 +442,16 @@ def trust_weighted_pagerank(
     spam-resistant twin of `domain_rank` (prioritize frontier URLs by
     the trust of the linking host).
 
-    Same fixed-point integer discipline as `weighted_pagerank` —
-    per-edge ``rank·w div w_out``, damped, order-independent — with
-    two changes: the per-iteration base term is ``(1−d)·SCALE div
-    n_seeds`` ON SEEDS ONLY (zero elsewhere), and the start vector is
-    the trust vector itself.  ``seeds`` is a (v) frame, broadcast —
-    trusted seed lists are small by construction.
-
-    Scale shape identical to `weighted_pagerank`: w_out joined once
-    and persisted, one O(edges) join + sum per iteration, linear
-    lineage."""
+    Built on `_wpr_fixed_point` (the shared weighted-PageRank kernel)
+    with the teleport concentrated: the per-iteration base term is
+    ``(1−d)·SCALE div n_seeds`` ON SEEDS ONLY (zero elsewhere), and
+    the start vector is the trust vector itself.  ``seeds`` is a (v)
+    frame, broadcast — trusted seed lists are small by construction.
+    ``n_seeds`` counts only seeds PRESENT in the graph (a seed with no
+    edges can neither hold nor pass trust — counting it would silently
+    evaporate its teleport share every iteration)."""
     from pyspark.storagelevel import StorageLevel
 
-    n_seeds = seeds.count()  # scalar: curated list, bounded by definition
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -452,31 +464,20 @@ def trust_weighted_pagerank(
         .select("v", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if n_seeds == 0 or verts.limit(1).count() == 0:
+    # scalar: curated list ∩ graph vertices, bounded by definition
+    n_seeds = verts.filter("is_seed").count()
+    if n_seeds == 0:
         return edges.sparkSession.createDataFrame(
             [], "v long, trust_units long"
         )
-    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ew = edges.join(wout, "src").persist(StorageLevel.MEMORY_AND_DISK)
     base = (100 - PR_DAMP_PCT) * PR_SCALE // (100 * n_seeds)
-    ranks = verts.select(
-        "v",
-        F.expr(f"if(is_seed, {PR_SCALE // n_seeds}L, 0L)").alias("r"),
+    ranks = _wpr_fixed_point(
+        edges,
+        verts,
+        f"if(is_seed, {PR_SCALE // n_seeds}L, 0L)",
+        f"if(is_seed, {base}L, 0L)",
+        iters,
     )
-    for _ in range(iters):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.v)
-            .select("dst", F.expr("r * w div wout").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = verts.join(contrib, verts.v == contrib.dst, "left").select(
-            "v",
-            (
-                F.expr(f"if(is_seed, {base}L, 0L)")
-                + F.expr(f"{PR_DAMP_PCT} * coalesce(s, 0L) div 100")
-            ).cast("long").alias("r"),
-        )
     return ranks.select("v", F.col("r").alias("trust_units"))
 
 

@@ -41,9 +41,10 @@ replacement a 10¹⁰-document corpus needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_scraper_spark.functions.topk import salted_topk
 from llm_scraper_spark.operators.similarity import (
     _QUANT_SQL,
     _quantized,
@@ -243,30 +244,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc.alias("adc_dist2"),
         )
     )
-    # Two-phase top-k: a single window on query_id alone funnels the
-    # whole scored stream into N_QUERIES partitions (hot-partition
-    # bottleneck at corpus scale).  Phase 1 ranks within
-    # (query_id, salt) — TOPK_SALTS× more, evenly-sized partitions —
-    # and keeps each salt's top-K; the global top-K is provably a
-    # subset of that union (every kept row beats all dropped rows of
-    # its own salt under the (adc, neighbor) total order).  Phase 2
-    # ranks the ≤ TOPK_SALTS × TOP_K survivors per query — trivial.
-    ws = Window.partitionBy("query_id", "salt").orderBy(
-        F.asc("adc_dist2"), F.asc("neighbor_id")
-    )
-    survivors = (
-        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(TOPK_SALTS)))
-        .withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= TOP_K)
-        .drop("salt", "srank")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist2"), F.asc("neighbor_id")
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
+    # Two-phase top-k (shared kernel — see functions/topk.py for the
+    # hot-partition rationale and the phase-1 subset proof).
+    return salted_topk(
+        scored,
+        "query_id",
+        [F.asc("adc_dist2"), F.asc("neighbor_id")],
+        TOP_K,
+        "neighbor_id",
+        TOPK_SALTS,
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from llm_scraper_spark.operators.sketches import hot_host_duck, hot_host_spark
+
 DEC = "decimal(18,2)"
 
 
@@ -426,10 +428,7 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     imbalance, not a uniform strawman.)"""
     docs = _t(spark, sf_dir, "documents")
     buckets = (
-        docs.selectExpr(
-            "if(doc_id % 3 = 0, 'site0',"
-            " concat('site', cast(doc_id % 40 as string))) AS host"
-        )
+        docs.selectExpr(f"{hot_host_spark('doc_id')} AS host")
         .selectExpr(
             f"cast(conv(substr(md5(host), 1, 15), 16, 10) as bigint)"
             f" % {SKEW_PARTS} AS bucket"
@@ -764,8 +763,7 @@ ORACLE_SQL: dict[str, str] = {
     "shuffle_skew_report": f"""
         WITH b AS (
           SELECT CAST('0x' || substr(md5(
-                   CASE WHEN doc_id % 3 = 0 THEN 'site0'
-                        ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) END
+                   {hot_host_duck("doc_id")}
                  ), 1, 15) AS BIGINT) % {SKEW_PARTS} AS bucket
           FROM documents),
         c AS (

@@ -41,10 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_scraper_spark.functions.topk import salted_topk
 from llm_scraper_spark.operators.textstats import (
-    STOPWORDS,
     TFIDF_MIN_TERM_LEN,
     _STOP_SQL,
+    kept_tokens,
 )
 
 S = 1_000_000          # fixed-point scale
@@ -70,22 +71,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _kept_tokens(docs: DataFrame) -> DataFrame:
-    """Row-local tokenization shared with tfidf_top_terms: lowercase
-    alpha runs, min length, stopwords out."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-    ).filter(
-        (F.length("term") >= TFIDF_MIN_TERM_LEN)
-        & ~F.col("term").isin(STOPWORDS)
-    )
-
-
 def bm25_scores(docs: DataFrame, query_terms: DataFrame) -> DataFrame:
     """Per-(query_id, doc_id) BM25 score in S-units over the kept-token
-    statistics.  `query_terms` = (query_id, term), broadcast."""
-    toks = _kept_tokens(docs)
+    statistics (textstats.kept_tokens — the text suite's one
+    tokenization).  `query_terms` = (query_id, term), broadcast."""
+    toks = kept_tokens(docs)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -124,26 +114,16 @@ def bm25_scores(docs: DataFrame, query_terms: DataFrame) -> DataFrame:
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate: BM25 top-10 per query, two-phase salted window,
     tie-break (score desc, doc_id asc)."""
-    from pyspark.sql import Window
-
     qt = spark.createDataFrame(QUERIES_BM25, "query_id long, term string")
     scored = bm25_scores(_docs(spark, sf_dir), qt)
-    ws = Window.partitionBy("query_id", "salt").orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    survivors = (
-        scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(TOPK_SALTS)))
-        .withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= BM25_TOPK)
-        .drop("salt", "srank")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    return (
-        survivors.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= BM25_TOPK)
-        .orderBy("query_id", "rnk")
+    return salted_topk(
+        scored,
+        "query_id",
+        [F.desc("score_units"), F.asc("doc_id")],
+        BM25_TOPK,
+        "doc_id",
+        TOPK_SALTS,
+        rank_name="rnk",
     )
 
 

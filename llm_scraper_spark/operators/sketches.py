@@ -43,16 +43,27 @@ CMS_W = 64         # counters per row — small on purpose so collisions
                    # sandbox SF; production would size W = e/ε
 HH_PCT = 2         # heavy hitter = estimated share ≥ 2% of the stream
 
-#: synthetic per-event host: every 3rd user hits the hot host site0,
+#: synthetic hot-host family: every 3rd key hits the hot host site0,
 #: the rest spread over 40 host buckets — a ~35% hot key, the skew a
-#: real frontier shows.
-_HOST_SPARK = (
-    "if(user_id % 3 = 0, 'site0', concat('site', cast(user_id % 40 as string)))"
-)
-_HOST_DUCK = (
-    "CASE WHEN user_id % 3 = 0 THEN 'site0'"
-    " ELSE 'site' || CAST(user_id % 40 AS VARCHAR) END"
-)
+#: real frontier shows.  Parameterized by the id column: the CMS
+#: stream keys on user_id, the shuffle-skew audit
+#: (relational.shuffle_skew_report) on doc_id — ONE definition.
+def hot_host_spark(col: str) -> str:
+    return (
+        f"if({col} % 3 = 0, 'site0',"
+        f" concat('site', cast({col} % 40 as string)))"
+    )
+
+
+def hot_host_duck(col: str) -> str:
+    return (
+        f"CASE WHEN {col} % 3 = 0 THEN 'site0'"
+        f" ELSE 'site' || CAST({col} % 40 AS VARCHAR) END"
+    )
+
+
+_HOST_SPARK = hot_host_spark("user_id")
+_HOST_DUCK = hot_host_duck("user_id")
 
 
 def _cell(d: int, key: str = "key") -> str:

@@ -49,9 +49,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from llm_scraper_spark.operators.webarchive import _URL_DUCK, _URL_SPARK
-
-N_HOSTS = 20           # the shared 20-bucket synthetic host family
+from llm_scraper_spark.operators.webarchive import (
+    N_HOSTS,  # the shared 20-bucket synthetic host family
+    _URL_DUCK,
+    _URL_SPARK,
+)
 CAPTURES_PER_URL = 4   # snapshots per URL in the collapse universe
 TS_BASE = 1_600_000_000
 TS_STEP = 86_400       # one capture per day

@@ -34,9 +34,10 @@ scalar n).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_scraper_spark.functions.topk import salted_topk
 from llm_scraper_spark.operators.similarity import (
     DIM,
     N_QUERIES,
@@ -131,22 +132,13 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (acc, e) -> acc + e) AS dist_units",
         )
     )
-    ws = Window.partitionBy("query_id", "salt").orderBy(
-        F.asc("dist_units"), F.asc("neighbor_id")
-    )
-    survivors = (
-        scored.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(TOPK_SALTS)))
-        .withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= TOP_K)
-        .drop("salt", "srank")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("dist_units"), F.asc("neighbor_id")
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
+    return salted_topk(
+        scored,
+        "query_id",
+        [F.asc("dist_units"), F.asc("neighbor_id")],
+        TOP_K,
+        "neighbor_id",
+        TOPK_SALTS,
     )
 
 

@@ -306,6 +306,20 @@ TFIDF_TOPK = 3
 TFIDF_SCALE = 1_000_000
 
 
+def kept_tokens(docs: DataFrame) -> DataFrame:
+    """The text suite's ONE tokenization: lowercase alpha runs, min
+    term length, stopwords out → (doc_id, term), one row per
+    occurrence.  tf-idf and BM25 (operators/search.py) both build
+    their corpus statistics on this frame so they can never drift."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(
+        (F.length("term") >= TFIDF_MIN_TERM_LEN)
+        & ~F.col("term").isin(STOPWORDS)
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_TOPK salient terms per document (reference analog:
     keyword extraction feeding the KG node names, db.py:46-50 — here
@@ -321,13 +335,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-    ).filter(
-        (F.length("term") >= TFIDF_MIN_TERM_LEN)
-        & ~F.col("term").isin(STOPWORDS)
-    )
+    toks = kept_tokens(docs)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
