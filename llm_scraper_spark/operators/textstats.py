@@ -420,6 +420,72 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BIGRAM language-model surprisal per document — one order
+    up from `unigram_lm_score` (CCNet's actual filter is a 5-gram
+    KenLM; the bigram conditional is the smallest model that catches
+    scrambled-word salad a unigram LM scores as fluent).  Add-one
+    smoothing over the corpus vocabulary:
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)``, surprisal in WHOLE BITS
+    via the repo's integer-log idiom ``length(bin((c(w1·)+V) div
+    (c(w1,w2)+1)))`` — no libm, bit-exact cross-engine.
+
+    Scale shape: bigram pairs are built ROW-LOCALLY (zip of the token
+    array with its own tail — no position shuffle); per-(doc, pair)
+    counts aggregate before the corpus-count join (one row per
+    distinct pair per doc); bigram vocabulary grows with the corpus so
+    both count joins are hash joins; V and nothing else broadcasts.
+    Documents with <2 tokens have no bigrams and drop out (disclosed).
+    """
+    docs = _docs(spark, sf_dir)
+    arr = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+    pairs = docs.selectExpr(
+        "doc_id",
+        f"explode(zip_with(slice({arr}, 1, greatest(size({arr}) - 1, 0)),"
+        f" slice({arr}, 2, greatest(size({arr}) - 1, 0)),"
+        " (x, y) -> struct(x AS w1, y AS w2))) AS bg",
+    ).selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+    tf2 = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = docs.selectExpr(
+        f"explode({arr}) AS term"
+    ).agg(F.countDistinct("term").cast("long").alias("v"))
+    scored = (
+        tf2.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(
+                "cast(length(bin((c1 + v) div (c2 + 1))) as bigint)"
+            ).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("bits")).cast("long").alias(
+                "surprisal_sum"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_sum",
+            f"surprisal_sum * {LM_SCALE}L div n_bigrams"
+            " AS mean_surprisal_fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: quantile points for the length profile, in percent (rank-based
 #: "lower" quantile: the value at 0-based rank floor(p·(n-1)/100) of
 #: the ascending sort — pure integer index arithmetic, so Spark and
@@ -618,6 +684,47 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["bigram_lm_score"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> ''), 1) AS pos,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), tf2 AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+      FROM pairs GROUP BY 1, 2, 3
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM pairs GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks
+    ), doc AS (
+      SELECT tf2.doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             CAST(sum(tf * length(bin((c1.c1 + v) // (c2.c2 + 1))))
+                  AS BIGINT) AS surprisal_sum
+      FROM tf2
+      JOIN c2 ON tf2.w1 = c2.w1 AND tf2.w2 = c2.w2
+      JOIN c1 ON tf2.w1 = c1.w1
+      CROSS JOIN vocab
+      GROUP BY tf2.doc_id
+    )
+    SELECT doc_id, n_bigrams, surprisal_sum,
+           CAST(surprisal_sum * {LM_SCALE} // n_bigrams AS BIGINT)
+             AS mean_surprisal_fp
+    FROM doc ORDER BY doc_id
+"""
+
 ORACLE_SQL["unigram_lm_score"] = f"""
     WITH toks AS (
       SELECT doc_id, t.term
@@ -672,6 +779,7 @@ ORACLE_SQL["approx_distinct_gate"] = """
 QUERIES = {
     "text_quality": text_quality,
     "unigram_lm_score": unigram_lm_score,
+    "bigram_lm_score": bigram_lm_score,
     "corpus_length_quantiles": corpus_length_quantiles,
     "approx_distinct_gate": approx_distinct_gate,
     "lang_id": lang_id,

@@ -32,6 +32,7 @@ BNLJ_JUSTIFIED = {
     "tpch_q22_sales_opportunity": "1-row global avg-balance aggregate",
     "tpch_q11_important_stock": "1-row global supply-value aggregate",
     "unigram_lm_score": "1-row global token-total aggregate",
+    "bigram_lm_score": "1-row vocabulary-size aggregate",
     "dsir_importance_score": "1-row target/raw token-total aggregates",
     "a8_fuzzy_precision_count": "fixed sentence-variant literal table",
     "a9_vote_majority": "fixed judge-panel literal table",

@@ -61,3 +61,26 @@ def test_adaptive_bits_matches_sql_formula():
     # the clamps actually engage at the extremes
     assert s._adaptive_bits(10) == s.MIN_BITS
     assert s._adaptive_bits(10**12) == s.N_PLANES
+
+
+def test_bigram_lm_prefers_repeated_sequences(spark):
+    """A doc made of one repeated bigram pattern must score lower mean
+    bigram surprisal than a doc of corpus-unique bigrams, under the
+    corpus LM trained on both; n_bigrams == tokens − 1."""
+    import os
+    import tempfile
+
+    from llm_scraper_spark.operators.textstats import bigram_lm_score
+
+    docs = [
+        (1, "alpha beta " * 20),             # one bigram, 39 repeats
+        (2, "cat dog bird fish wolf bear fox hen owl elk"),  # all unique
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in bigram_lm_score(spark, d).collect()}
+    assert out[1].n_bigrams == 39
+    assert out[2].n_bigrams == 9
+    assert out[1].mean_surprisal_fp < out[2].mean_surprisal_fp
