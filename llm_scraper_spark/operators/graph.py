@@ -498,6 +498,118 @@ def trustrank_topk(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_distribution(spark, sf_dir: str) -> DataFrame:
+    """Log₂-bucketed in/out-degree histogram of the page link graph —
+    the first chart every webgraph paper prints and the first sanity
+    check on a crawl (a power law with the wrong slope means the
+    frontier is trapped).  Bucket = length(bin(degree)) − 1 =
+    ⌊log₂ degree⌋, the repo's integer-log idiom — no libm.  Two
+    O(edges) degree aggs + one O(vertices) bucket agg; output is
+    O(log max-degree) rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = host_graph(docs)  # (src_host, dst_host, n_links)
+    pe = edges.selectExpr(
+        "src_host AS src", "dst_host AS dst", "n_links AS w"
+    )
+    outd = pe.groupBy("src").agg(F.sum("w").cast("long").alias("deg"))
+    ind = pe.groupBy("dst").agg(F.sum("w").cast("long").alias("deg"))
+
+    def hist(d: DataFrame, which: str) -> DataFrame:
+        return (
+            d.selectExpr(
+                f"'{which}' AS side",
+                "cast(length(bin(deg)) - 1 as bigint) AS log2_bucket",
+            )
+            .groupBy("side", "log2_bucket")
+            .agg(F.count("*").cast("long").alias("n_vertices"))
+        )
+
+    return (
+        hist(outd, "out")
+        .unionByName(hist(ind, "in"))
+        .orderBy("side", "log2_bucket")
+    )
+
+
+# ----------------------------------------------------------------- k-core
+KC_K = 2          # the core order under test
+KC_ROUNDS = 6     # peel rounds unrolled (a 10-path dies in 5)
+KC_BLOCK = 10     # synthetic block width
+
+
+def kcore_peel(edges: DataFrame, k: int = KC_K,
+               rounds: int = KC_ROUNDS) -> DataFrame:
+    """The k-core of an undirected graph ``(a, b)`` by iterative
+    peeling (Seidman '83; the web-spam/community primitive next to
+    degree and PageRank): repeatedly drop vertices whose degree within
+    the surviving set is < k.  Each round is one O(edges) semi-join +
+    degree agg — the standard distributed form; lineage is cut per
+    round.  RAISES if the fixpoint isn't reached within `rounds`
+    (same contract as dedup_clusters / resolve_redirects: never return
+    a half-peeled core).  Returns the surviving vertex set ``(v)``."""
+    sym = edges.selectExpr("a AS u", "b AS w").unionByName(
+        edges.selectExpr("b AS u", "a AS w")
+    )
+    alive = sym.select(F.col("u").alias("v")).distinct()
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.selectExpr("v AS u"), "u")
+            .join(alive.selectExpr("v AS w"), "w")
+            .groupBy("u")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .selectExpr("u AS v")
+            .localCheckpoint(eager=True)
+        )
+    # fixpoint check: one more peel must change nothing
+    deg = (
+        sym.join(alive.selectExpr("v AS u"), "u")
+        .join(alive.selectExpr("v AS w"), "w")
+        .groupBy("u")
+        .agg(F.count("*").alias("deg"))
+    )
+    if deg.filter(F.col("deg") < k).limit(1).count():
+        raise RuntimeError(
+            f"k-core peeling did not converge in {rounds} rounds — "
+            "raise KC_ROUNDS for this graph"
+        )
+    return alive
+
+
+def kcore_membership(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: the 2-core of the planted block graph — vertices
+    0..n−1 in blocks of KC_BLOCK, chained within each block; EVEN
+    blocks close their cycle (a 2-core that survives), odd blocks stay
+    paths (peel away end-in)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()  # scalar graph size, as link_pagerank
+    if n == 0:
+        return spark.createDataFrame([], "v long")
+    idx = docs.sparkSession.range(n).selectExpr("id AS i")
+    chain = idx.filter(
+        (F.col("i") % KC_BLOCK < KC_BLOCK - 1) & (F.col("i") + 1 < n)
+    ).selectExpr("i AS a", "i + 1 AS b")
+    closing = idx.filter(
+        (F.col("i") % KC_BLOCK == 0)
+        & ((F.col("i") / KC_BLOCK).cast("long") % 2 == 0)
+        & (F.col("i") + KC_BLOCK - 1 < n)
+    ).selectExpr(f"i + {KC_BLOCK - 1} AS a", "i AS b")
+    return kcore_peel(chain.unionByName(closing)).orderBy("v")
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    return f"""
+    d{r} AS (
+      SELECT u, count(*) AS deg
+      FROM sym
+      WHERE u IN (SELECT v FROM a{r - 1})
+        AND w IN (SELECT v FROM a{r - 1})
+      GROUP BY u),
+    a{r} AS (SELECT u AS v FROM d{r} WHERE deg >= {k})"""
+
+
 def seed_expansion_cocite(spark, sf_dir: str) -> DataFrame:
     """Focused-crawl seed expansion by outlink co-citation: rank every
     non-seed host against every trusted seed by the Jaccard similarity
@@ -614,6 +726,42 @@ ORACLE_SQL = {
         FROM r{DG_ITERS}
         ORDER BY rank_units DESC, host
     """,
+    "kcore_membership": f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        idx AS (SELECT unnest(range(0, (SELECT n FROM nn))) AS i),
+        chain AS (
+          SELECT i AS a, i + 1 AS b FROM idx
+          WHERE i % {KC_BLOCK} < {KC_BLOCK - 1}
+            AND i + 1 < (SELECT n FROM nn)),
+        closing AS (
+          SELECT i + {KC_BLOCK - 1} AS a, i AS b FROM idx
+          WHERE i % {KC_BLOCK} = 0 AND (i // {KC_BLOCK}) % 2 = 0
+            AND i + {KC_BLOCK - 1} < (SELECT n FROM nn)),
+        e AS (SELECT * FROM chain UNION ALL SELECT * FROM closing),
+        sym AS (
+          SELECT a AS u, b AS w FROM e
+          UNION ALL SELECT b, a FROM e),
+        a0 AS (SELECT DISTINCT u AS v FROM sym),
+        {",".join(_kcore_round_sql(r, KC_K) for r in range(1, KC_ROUNDS + 1))}
+        SELECT CAST(v AS BIGINT) AS v FROM a{KC_ROUNDS} ORDER BY v
+    """,
+    "degree_distribution": f"""
+        WITH {_HOST_GRAPH_DUCK},
+        outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+                 FROM he GROUP BY src),
+        ind AS (SELECT dst, CAST(sum(w) AS BIGINT) AS deg
+                FROM he GROUP BY dst),
+        h AS (
+          SELECT 'out' AS side,
+                 CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bucket
+          FROM outd
+          UNION ALL
+          SELECT 'in', CAST(length(bin(deg)) - 1 AS BIGINT) FROM ind)
+        SELECT side, log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM h GROUP BY side, log2_bucket
+        ORDER BY side, log2_bucket
+    """,
     "seed_expansion_cocite": f"""
         WITH {_HOST_GRAPH_DUCK},
         e AS (SELECT DISTINCT src, dst FROM he),
@@ -706,4 +854,6 @@ QUERIES = {
     "domain_rank": domain_rank,
     "trustrank_topk": trustrank_topk,
     "seed_expansion_cocite": seed_expansion_cocite,
+    "degree_distribution": degree_distribution,
+    "kcore_membership": kcore_membership,
 }

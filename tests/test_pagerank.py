@@ -210,3 +210,42 @@ def test_seed_expansion_matches_duckdb(spark):
         SF_DIR,
         "seed_expansion_cocite",
     )
+
+
+def test_degree_distribution_conserves_vertices(spark):
+    """Each side's bucket counts sum to the number of hosts with that
+    kind of edge; buckets are ⌊log₂ degree⌋ of a positive degree."""
+    out = graph.QUERIES["degree_distribution"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    edges = graph.host_graph(docs).collect()
+    n_src = len({e.src_host for e in edges})
+    n_dst = len({e.dst_host for e in edges})
+    sums = {"out": 0, "in": 0}
+    for r in out:
+        assert r.log2_bucket >= 0
+        sums[r.side] += r.n_vertices
+    assert sums == {"out": n_src, "in": n_dst}
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    """Triangle + pendant tail: the 2-core is exactly the triangle;
+    the tail (including its attachment chain) peels end-in."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(r.v for r in graph.kcore_peel(df).collect())
+    assert got == [0, 1, 2]
+
+
+def test_kcore_gate_matches_planted_blocks(spark):
+    """Survivors are exactly the vertices of even blocks (closed
+    cycles); odd blocks (open paths) peel away."""
+    out = sorted(
+        r.v for r in graph.QUERIES["kcore_membership"](spark, SF_DIR).collect()
+    )
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    expect = [
+        v for v in range(n)
+        if (v // graph.KC_BLOCK) % 2 == 0
+        and (v // graph.KC_BLOCK) * graph.KC_BLOCK + graph.KC_BLOCK <= n
+    ]
+    assert out == expect
