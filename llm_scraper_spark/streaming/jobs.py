@@ -256,6 +256,103 @@ def run_stateful_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("event_type")
 
 
+# ------------------------------------------------------ token bucket
+_RATE_OUT = T.StructType(
+    [
+        T.StructField("host", T.LongType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("arrivals", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+        T.StructField("dropped", T.LongType()),
+        T.StructField("tokens_after", T.LongType()),
+    ]
+)
+#: carry across micro-batches: (tokens left, last folded slot)
+_RATE_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("last_slot", T.LongType()),
+    ]
+)
+
+
+def _rate_limit_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: the per-host token-bucket fold of
+    operators/crawlsched.token_bucket_fold, with the bucket level and
+    last slot carried across micro-batches.  Late-data policy mirrors
+    the sessionize kernel: a slot ≤ the state's last folded slot would
+    rewind the bucket, so strictly-late slots drop (slot-granularity
+    watermark).  A single-batch AvailableNow drain therefore equals
+    the batch fold exactly — which is what the driver gate compares
+    against the recursive-CTE oracle."""
+    import pandas as pd
+
+    from llm_scraper_spark.operators.crawlsched import (
+        TB_CAP,
+        TB_REFILL,
+        TB_SLOT_S,
+    )
+
+    (host,) = key
+    batch = pd.concat(list(pdf_iter))
+    if batch.empty:
+        return
+    ts_ns = batch["ts"].values.astype("datetime64[ns]").astype("int64")
+    slots = pd.Series(ts_ns // (TB_SLOT_S * 1_000_000_000))
+    counts = slots.value_counts().sort_index()
+
+    if state.exists:
+        tokens, last_slot = state.get
+        counts = counts[counts.index > last_slot]
+        if counts.empty:
+            return
+    else:
+        tokens, last_slot = TB_CAP, None
+
+    rows = []
+    for slot, arr in counts.items():
+        if last_slot is not None:
+            tokens = min(TB_CAP, tokens + (slot - last_slot) * TB_REFILL)
+        adm = min(int(arr), tokens)
+        tokens -= adm
+        rows.append((host, int(slot), int(arr), adm, int(arr) - adm, tokens))
+        last_slot = slot
+    state.update((int(tokens), int(last_slot)))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "host", "slot", "arrivals", "admitted", "dropped",
+            "tokens_after",
+        ],
+    )
+
+
+def rate_limit_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-host token-bucket admission — the live form of
+    the crawl politeness ledger (crawlsched.rate_limit_admission):
+    state is two longs per host, O(active hosts) total."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from llm_scraper_spark.operators.crawlsched import N_SITES
+
+    keyed = events.selectExpr(f"user_id % {N_SITES} AS host", "ts")
+    return keyed.groupBy("host").applyInPandasWithState(
+        _rate_limit_fn,
+        outputStructType=_RATE_OUT,
+        stateStructType=_RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_rate_limit_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = _clamped_session(spark)
+    return _drain_to_memory(
+        rate_limit_stream(_events_stream(s2, sf_dir)),
+        output_mode="append",
+    ).orderBy("host", "slot")
+
+
 def view_purchase_join_stream(events: DataFrame) -> DataFrame:
     """Stream-stream inner join with a time-range condition: each
     purchase matches the same user's views in the preceding 2 hours.
@@ -350,7 +447,15 @@ ORACLE_SQL = {
     """,
 }
 
+from llm_scraper_spark.operators import crawlsched as _crawlsched
+
+#: the streaming drain must equal the batch fold, so the oracle IS the
+#: batch operator's recursive-CTE twin — one recurrence, three forms
+#: (pandas stream kernel, applyInPandas batch fold, SQL recursion)
+ORACLE_SQL["stream_rate_limit"] = _crawlsched.ORACLE_SQL["rate_limit_admission"]
+
 QUERIES = {
+    "stream_rate_limit": run_rate_limit_available_now,
     "stream_view_purchase_join": run_view_purchase_join_available_now,
     "stream_windowed_counts": run_windowed_counts_available_now,
     "stream_stateful_dedup": run_stateful_dedup_available_now,

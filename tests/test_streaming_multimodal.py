@@ -319,3 +319,62 @@ def test_mime_sniff_matches_oracle_and_families(spark):
     for (hexmagic, mime) in MAGIC_TABLE:
         r = rows[mime]
         assert r["total_bytes"] == r["n_payloads"] * (len(hexmagic) // 2 + 16)
+
+
+def test_rate_limit_state_carries_across_batches(spark, tmp_path):
+    """Three file-source micro-batches split at time boundaries: the
+    bucket level must carry through state so the final appended ledger
+    equals the one-shot batch fold (crawlsched.token_bucket_fold) on
+    the same events."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from llm_scraper_spark.operators.crawlsched import (
+        N_SITES,
+        TB_SLOT_S,
+        token_bucket_fold,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cuts = ("2024-01-10", "2024-01-20")
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)  # file source orders batches by mtime
+    flat = src / "flat"
+    flat.mkdir()
+    for i in range(3):
+        for f in (src / f"b{i}").glob("*.parquet"):
+            os.link(f, flat / f"{i}_{f.name}")
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(flat))
+    )
+    got = jobs._drain_to_memory(
+        jobs.rate_limit_stream(stream), output_mode="append"
+    )
+    expect = token_bucket_fold(
+        ev.selectExpr(
+            f"user_id % {N_SITES} AS host",
+            f"cast(floor(unix_timestamp(ts) / {TB_SLOT_S}) as long) AS slot",
+        )
+        .groupBy("host", "slot")
+        .agg(F.count("*").cast("long").alias("arrivals"))
+    )
+    g = {(r.host, r.slot): (r.arrivals, r.admitted, r.dropped, r.tokens_after)
+         for r in got.collect()}
+    e = {(r.host, r.slot): (r.arrivals, r.admitted, r.dropped, r.tokens_after)
+         for r in expect.collect()}
+    assert g == e
+    assert len(g) > 0
