@@ -135,6 +135,82 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- KMV set sketch
+KMV_K = 64          # sketch size: k minimum hash values per set
+H56 = 1 << 56       # hash space: 56-bit md5 prefixes — 14 hex chars, not
+                    # the repo's usual 15, so (K−1)·H56 ≈ 4.5e18 stays
+                    # inside int64 with no decimal promotion
+EVAL_SCALE = 1_000_000
+
+#: the two crawl-round URL sets from the snapshots universe (same
+#: predicates as operators/snapshots.py) — their exact intersection /
+#: union are known, which is what makes the estimate self-checkable.
+_SET_A_PRED = "doc_id % 10 <> 9"
+_SET_B_PRED = "doc_id % 10 <> 0"
+
+
+def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-operation sketch (Beyer et al.,
+    SIGMOD '07): estimate |A∪B| and |A∩B| of two URL sets from two
+    64-hash sketches — the third mergeable-sketch family next to
+    HLL++ (cardinality) and Count-Min (frequency), and the one that
+    supports INTERSECTION, which neither of those can.  Protocol: the
+    union sketch U = k smallest hashes of A∪B (computable purely by
+    merging the two per-set sketches); distinct-union estimate
+    ``(k−1)·2⁵⁶ div max(U)``; Jaccard estimate = fraction of U present
+    in BOTH per-set sketches (exact for members of U: a union-k-min
+    that belongs to A is necessarily one of A's k smallest).  All
+    integer — both engines agree bit-for-bit, and the driver gate
+    carries the EXACT union/intersection alongside so the estimate's
+    error is auditable on every run (same self-check discipline as
+    `approx_distinct_gate`).
+
+    Scale shape: each per-set sketch is a global top-k on the hash —
+    TakeOrdered, K·partitions candidates, no full sort — and every
+    downstream join touches only the ≤2K sketch rows (broadcast by
+    construction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = "cast(conv(substr(md5(cast(doc_id as string)), 1, 14), 16, 10) as bigint)"
+    a = docs.filter(_SET_A_PRED).selectExpr(f"{h} AS h")
+    b = docs.filter(_SET_B_PRED).selectExpr(f"{h} AS h")
+    ka = a.orderBy("h").limit(KMV_K).withColumn("in_a", F.lit(1))
+    kb = b.orderBy("h").limit(KMV_K).withColumn("in_b", F.lit(1))
+    union_sketch = (
+        ka.select("h")
+        .unionByName(kb.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    marked = (
+        union_sketch.join(F.broadcast(ka.select("h", "in_a")), "h", "left")
+        .join(F.broadcast(kb.select("h", "in_b")), "h", "left")
+        .agg(
+            F.max("h").alias("kth"),
+            F.sum(
+                F.expr("if(in_a IS NOT NULL AND in_b IS NOT NULL, 1L, 0L)")
+            ).alias("n_both"),
+        )
+    )
+    exact = (
+        a.select("h").intersect(b.select("h"))
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+        .crossJoin(
+            a.select("h").union(b.select("h")).distinct()
+            .agg(F.count("*").cast("long").alias("exact_union"))
+        )
+    )
+    return marked.crossJoin(F.broadcast(exact)).selectExpr(
+        "n_both",
+        f"cast(({KMV_K} - 1) * {H56}L div kth as bigint) AS est_union",
+        f"n_both * {EVAL_SCALE}L div {KMV_K} AS jaccard_units",
+        f"cast((({KMV_K} - 1) * {H56}L div kth) * n_both div {KMV_K}"
+        " as bigint) AS est_inter",
+        "exact_union",
+        "exact_inter",
+    )
+
+
 def _cell_duck(d: int, key: str = "key") -> str:
     return (
         f"CAST('0x' || substr(md5('cms' || '{d}' || ':' || {key}), 1, 15)"
@@ -176,6 +252,43 @@ ORACLE_SQL = {
     """,
 }
 
+ORACLE_SQL["kmv_intersection"] = f"""
+    WITH a AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             1, 14) AS BIGINT) AS h
+      FROM documents WHERE {_SET_A_PRED}),
+    b AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             1, 14) AS BIGINT) AS h
+      FROM documents WHERE {_SET_B_PRED}),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+    u AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {KMV_K}),
+    m AS (
+      SELECT max(u.h) AS kth,
+             CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ka WHERE ka.h = u.h)
+                            AND EXISTS (SELECT 1 FROM kb WHERE kb.h = u.h)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM u),
+    ex AS (
+      SELECT
+        (SELECT count(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+          AS exact_inter,
+        (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+          AS exact_union)
+    SELECT n_both,
+           CAST(({KMV_K} - 1) * {H56} // kth AS BIGINT) AS est_union,
+           n_both * {EVAL_SCALE} // {KMV_K} AS jaccard_units,
+           CAST((({KMV_K} - 1) * {H56} // kth) * n_both // {KMV_K}
+                AS BIGINT) AS est_inter,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM m CROSS JOIN ex
+"""
+
 QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
+    "kmv_intersection": kmv_intersection,
 }

@@ -55,6 +55,7 @@ BNLJ_JUSTIFIED = {
     "crawl_budget_allocation": "two 1-row aggregates (Σrank, leftover)",
     "funnel_conversion": "three 1-row stage-count aggregates",
     "shuffle_skew_report": "1-row (total, max, nb) bucket-stats aggregate",
+    "kmv_intersection": "K(=64)-row sketch frames + 1-row exact-stats aggregate",
     "dedup_lsh_eval": "1-row LSH-pair-count aggregate joined onto the 1-row truth/hit aggregate",
     "dust_apply": (
         "support-filtered mined rule table — grows with site TEMPLATES, "

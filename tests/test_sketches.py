@@ -64,3 +64,29 @@ def test_cms_oracle_matches(spark):
         df, sketches.ORACLE_SQL["cms_heavy_hitters"], SF_DIR,
         "cms_heavy_hitters",
     )
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """KMV union/intersection estimates land within ±35% of exact at
+    k=64 (σ ≈ 1/√k ≈ 12.5%; ±35% ≈ 3σ) and the Jaccard numerator is
+    exact for sketch members."""
+    from llm_scraper_spark.operators.sketches import kmv_intersection
+
+    r = kmv_intersection(spark, SF_DIR).collect()[0]
+    assert r.exact_inter > 0 and r.exact_union > r.exact_inter
+    assert abs(r.est_union - r.exact_union) <= 0.35 * r.exact_union
+    assert abs(r.est_inter - r.exact_inter) <= 0.35 * r.exact_union
+    assert 0 <= r.n_both <= 64
+
+
+def test_kmv_oracle_matches(spark):
+    from tests.oracle_check import assert_matches
+
+    from llm_scraper_spark.operators import sketches
+
+    assert_matches(
+        sketches.QUERIES["kmv_intersection"](spark, SF_DIR),
+        sketches.ORACLE_SQL["kmv_intersection"],
+        SF_DIR,
+        "kmv_intersection",
+    )
