@@ -452,6 +452,46 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: users
+    grouped by first-seen week (the cohort), each later week's activity
+    counted as (cohort_week, week_offset, n_active) plus the cohort
+    size and a fixed-point retention ratio — the standard
+    product-analytics triangle, and for a crawler the same shape as
+    "of the hosts first seen in round R, how many still serve new
+    URLs k rounds later".
+
+    Weeks are integer epoch-weeks (epoch div 604800 — no calendar/
+    timezone arithmetic, identical in both engines).  Scale shape:
+    first-seen is one groupBy-min on user_id; activity distinct-weeks
+    one agg; the matrix join keys on user_id (co-partitioned)."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(floor(unix_timestamp(ts) / 604800) as long) AS week",
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    matrix = (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        matrix.join(sizes, "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            f"n_active * {FUNNEL_SCALE}L div cohort_size AS retention_units",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------- sorts
 def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (AQL SORT … LIMIT; O2) — TakeOrderedAndProject."""
@@ -747,6 +787,29 @@ ORACLE_SQL: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey)
     """,
+    "cohort_retention": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, min(week) AS cohort_week
+          FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, week FROM ev),
+        sizes AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY cohort_week),
+        matrix AS (
+          SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM active a JOIN first f ON a.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+               m.n_active * {FUNNEL_SCALE} // s.cohort_size
+                 AS retention_units
+        FROM matrix m JOIN sizes s ON m.cohort_week = s.cohort_week
+        ORDER BY m.cohort_week, m.week_offset
+    """,
     "json_props_stats": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -931,6 +994,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "json_props_stats": json_props_stats,
     "shuffle_skew_report": shuffle_skew_report,
+    "cohort_retention": cohort_retention,
     "o2_global_topk": o2_global_topk,
     "o4_seeded_sample": o4_seeded_sample,
     "u4_union_distinct": u4_union_distinct,

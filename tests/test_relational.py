@@ -64,3 +64,23 @@ def test_json_props_extracts_every_row(spark):
     assert sum(r.n for r in out) == ev_n  # every props row parses
     for r in out:
         assert 0 <= r.k_min <= r.k_max
+
+
+def test_cohort_retention_week0_is_full(spark):
+    """Every cohort is 100% retained at offset 0 (its own first week),
+    and no offset exceeds it."""
+    from llm_scraper_spark.operators.relational import (
+        FUNNEL_SCALE,
+        cohort_retention,
+    )
+
+    out = cohort_retention(spark, SF_DIR).collect()
+    assert out
+    by_cohort = {}
+    for r in out:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r
+    for rows in by_cohort.values():
+        assert rows[0].retention_units == FUNNEL_SCALE
+        assert rows[0].n_active == rows[0].cohort_size
