@@ -434,16 +434,20 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = (
         _minhash_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b"))
+        .select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    flagged = truth.join(
-        lsh,
-        (F.col("doc_a") == F.col("l_a")) & (F.col("doc_b") == F.col("l_b")),
-        "left",
-    ).agg(
-        F.count("*").cast("long").alias("n_true"),
-        F.sum(F.expr("if(l_a IS NOT NULL, 1L, 0L)")).alias("n_hit"),
+    # n_hit via LEFT SEMI — exactly the twin's EXISTS: a truth pair
+    # counts once however many times the LSH side ever emitted it (a
+    # plain left join would inflate the count on duplicate pair rows
+    # and silently break the cross-engine gate)
+    n_hit = (
+        truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    flagged = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(F.broadcast(n_hit))
     )
     return (
         flagged

@@ -563,14 +563,20 @@ def kcore_peel(edges: DataFrame, k: int = KC_K,
             .selectExpr("u AS v")
             .localCheckpoint(eager=True)
         )
-    # fixpoint check: one more peel must change nothing
+    # fixpoint check: one more peel must change nothing.  The degree
+    # agg is inner-join-shaped, so an alive vertex whose surviving
+    # neighbors all died has NO deg row at all — left-join alive onto
+    # deg and treat the missing row as degree 0, else non-convergence
+    # slips through silently (e.g. the middle of a long path when
+    # `rounds` runs out before the peel reaches it).
     deg = (
         sym.join(alive.selectExpr("v AS u"), "u")
         .join(alive.selectExpr("v AS w"), "w")
         .groupBy("u")
         .agg(F.count("*").alias("deg"))
     )
-    if deg.filter(F.col("deg") < k).limit(1).count():
+    check = alive.join(deg.selectExpr("u AS v", "deg"), "v", "left")
+    if check.filter(F.expr(f"coalesce(deg, 0L) < {k}")).limit(1).count():
         raise RuntimeError(
             f"k-core peeling did not converge in {rounds} rounds — "
             "raise KC_ROUNDS for this graph"
@@ -664,7 +670,14 @@ def seed_expansion_cocite(spark, sf_dir: str) -> DataFrame:
 
 
 def _tr_iter_sql(i: int) -> str:
-    base = f"{100 - PR_DAMP_PCT} * {PR_SCALE} // (100 * {TR_SEEDS})"
+    # normalize by the SAME present-in-graph seed count the Spark side
+    # uses (trust_weighted_pagerank counts seeds ∩ vertices) — a seed
+    # host absent from the graph must not evaporate teleport share in
+    # one engine but not the other.  `trns` is the 1-row CTE below.
+    base = (
+        f"{100 - PR_DAMP_PCT} * {PR_SCALE}"
+        f" // (100 * greatest((SELECT k FROM trns), 1))"
+    )
     return f"""
     tc{i} AS (
       SELECT he.dst AS v, sum(t{i - 1}.r * he.w // wout.wo) AS s
@@ -787,15 +800,18 @@ ORACLE_SQL = {
         WITH {_HOST_GRAPH_DUCK},
         vs AS (SELECT DISTINCT v FROM
                  (SELECT src AS v FROM he UNION ALL SELECT dst FROM he)),
+        trns AS (SELECT count(*) AS k FROM vs WHERE v < {TR_SEEDS}),
         wout AS (SELECT src, sum(w) AS wo FROM he GROUP BY src),
         t0 AS (SELECT v,
                       CAST(CASE WHEN v < {TR_SEEDS}
-                                THEN {PR_SCALE} // {TR_SEEDS}
+                                THEN {PR_SCALE}
+                                     // greatest((SELECT k FROM trns), 1)
                                 ELSE 0 END AS BIGINT) AS r
                FROM vs),
         {",".join(_tr_iter_sql(i) for i in range(1, DG_ITERS + 1))}
         SELECT v AS host, CAST(r AS BIGINT) AS trust_units
         FROM t{DG_ITERS}
+        WHERE (SELECT k FROM trns) > 0
         ORDER BY trust_units DESC, host
     """,
     "link_pagerank_topk": f"""

@@ -187,6 +187,7 @@ def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(kb.select("h", "in_b")), "h", "left")
         .agg(
             F.max("h").alias("kth"),
+            F.count("*").cast("long").alias("n_u"),
             F.sum(
                 F.expr("if(in_a IS NOT NULL AND in_b IS NOT NULL, 1L, 0L)")
             ).alias("n_both"),
@@ -200,12 +201,18 @@ def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("exact_union"))
         )
     )
+    # non-full union sketch (|A∪B| < K): the sketch IS the whole union,
+    # so the order-statistic extrapolation is badly biased — return the
+    # exact values the sketch already holds (n_u distinct union hashes,
+    # n_both shared) and divide Jaccard by the true sketch size
     return marked.crossJoin(F.broadcast(exact)).selectExpr(
         "n_both",
-        f"cast(({KMV_K} - 1) * {H56}L div kth as bigint) AS est_union",
-        f"n_both * {EVAL_SCALE}L div {KMV_K} AS jaccard_units",
-        f"cast((({KMV_K} - 1) * {H56}L div kth) * n_both div {KMV_K}"
-        " as bigint) AS est_inter",
+        f"if(n_u < {KMV_K}, n_u,"
+        f" cast(({KMV_K} - 1) * {H56}L div kth as bigint)) AS est_union",
+        f"n_both * {EVAL_SCALE}L div greatest(n_u, 1L) AS jaccard_units",
+        f"if(n_u < {KMV_K}, n_both,"
+        f" cast((({KMV_K} - 1) * {H56}L div kth) * n_both div {KMV_K}"
+        " as bigint)) AS est_inter",
         "exact_union",
         "exact_inter",
     )
@@ -268,6 +275,7 @@ ORACLE_SQL["kmv_intersection"] = f"""
       ORDER BY h LIMIT {KMV_K}),
     m AS (
       SELECT max(u.h) AS kth,
+             CAST(count(*) AS BIGINT) AS n_u,
              CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ka WHERE ka.h = u.h)
                             AND EXISTS (SELECT 1 FROM kb WHERE kb.h = u.h)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
@@ -279,10 +287,13 @@ ORACLE_SQL["kmv_intersection"] = f"""
         (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
           AS exact_union)
     SELECT n_both,
-           CAST(({KMV_K} - 1) * {H56} // kth AS BIGINT) AS est_union,
-           n_both * {EVAL_SCALE} // {KMV_K} AS jaccard_units,
-           CAST((({KMV_K} - 1) * {H56} // kth) * n_both // {KMV_K}
-                AS BIGINT) AS est_inter,
+           CAST(CASE WHEN n_u < {KMV_K} THEN n_u
+                     ELSE ({KMV_K} - 1) * {H56} // kth END AS BIGINT)
+             AS est_union,
+           n_both * {EVAL_SCALE} // greatest(n_u, 1) AS jaccard_units,
+           CAST(CASE WHEN n_u < {KMV_K} THEN n_both
+                     ELSE (({KMV_K} - 1) * {H56} // kth) * n_both // {KMV_K}
+                END AS BIGINT) AS est_inter,
            CAST(exact_union AS BIGINT) AS exact_union,
            CAST(exact_inter AS BIGINT) AS exact_inter
     FROM m CROSS JOIN ex

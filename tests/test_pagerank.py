@@ -249,3 +249,50 @@ def test_kcore_gate_matches_planted_blocks(spark):
         and (v // graph.KC_BLOCK) * graph.KC_BLOCK + graph.KC_BLOCK <= n
     ]
     assert out == expect
+
+
+def test_kcore_nonconvergence_raises_on_isolated_survivor(spark):
+    """ADVICE r3 regression: a 13-vertex path peels 2 endpoints per
+    round, so rounds=6 strands the middle vertex with ZERO surviving
+    neighbors — the inner-join degree agg emits no row for it, and the
+    old fixpoint check silently returned a non-core.  The left-join
+    check must raise; one more round converges to the (empty) 2-core."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(12)]
+    spark_df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore_peel(spark_df, rounds=6)
+    assert graph.kcore_peel(spark_df, rounds=7).count() == 0
+
+
+def test_trustrank_absent_seed_matches_recurrence(spark):
+    """ADVICE r3 regression: seed host 0 is ABSENT from the graph, so
+    the teleport normalizer must be 2 (present seeds), identically in
+    both engines — the twin used to hardcode TR_SEEDS=3."""
+    import duckdb
+
+    edges = [(1, 3, 2), (2, 3, 1), (3, 4, 1), (4, 1, 1)]
+    he = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(v,) for v in range(graph.TR_SEEDS)], "v long")
+    got = {
+        r.v: r.trust_units
+        for r in graph.trust_weighted_pagerank(he, seeds).collect()
+    }
+    he_vals = ", ".join(f"({s},{d},{w})" for s, d, w in edges)
+    sql = f"""WITH he AS (SELECT * FROM (VALUES {he_vals}) AS t(src, dst, w)),
+      vs AS (SELECT DISTINCT v FROM
+               (SELECT src AS v FROM he UNION ALL SELECT dst FROM he)),
+      trns AS (SELECT count(*) AS k FROM vs WHERE v < {graph.TR_SEEDS}),
+      wout AS (SELECT src, sum(w) AS wo FROM he GROUP BY src),
+      t0 AS (SELECT v,
+                    CAST(CASE WHEN v < {graph.TR_SEEDS}
+                              THEN {graph.PR_SCALE}
+                                   // greatest((SELECT k FROM trns), 1)
+                              ELSE 0 END AS BIGINT) AS r
+             FROM vs),
+      {",".join(graph._tr_iter_sql(i) for i in range(1, graph.DG_ITERS + 1))}
+      SELECT v, CAST(r AS BIGINT) AS r FROM t{graph.DG_ITERS}
+      WHERE (SELECT k FROM trns) > 0"""
+    want = {int(v): int(r) for v, r in duckdb.sql(sql).fetchall()}
+    assert got == want and len(got) == 4

@@ -90,3 +90,32 @@ def test_kmv_oracle_matches(spark):
         SF_DIR,
         "kmv_intersection",
     )
+
+
+def test_kmv_nonfull_sketch_returns_exact(spark, tmp_path):
+    """ADVICE r3 regression: when |A∪B| < KMV_K the union sketch is
+    the WHOLE union — the order-statistic extrapolation is biased and
+    the exact values are in hand.  Both engines must return them."""
+    import os
+
+    from tests.oracle_check import assert_matches
+
+    from llm_scraper_spark.operators import sketches
+
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        os.symlink(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    spark.read.parquet(f"{src}/documents.parquet").filter(
+        "doc_id < 40"
+    ).toPandas().to_parquet(tmp_path / "documents.parquet")
+    df = sketches.kmv_intersection(spark, str(tmp_path))
+    assert_matches(
+        df, sketches.ORACLE_SQL["kmv_intersection"], str(tmp_path),
+        "kmv_nonfull",
+    )
+    r = df.collect()[0]
+    assert r.est_union == r.exact_union  # 40 < KMV_K: sketch is exact
+    assert r.est_inter == r.exact_inter
