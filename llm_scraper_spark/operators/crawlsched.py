@@ -69,6 +69,8 @@ MAX_ALIASES = 16   # content-group cap: a boilerplate page shared by
                    # millions of URLs must not go quadratic in the pair join
 MIN_SUPPORT = 3    # rules seen fewer times are pair noise, not rules
 N_SITES = 20       # synthetic host buckets
+#: host extraction for the rule key — identical regex in both engines
+HOST_RE = "^[a-z]+://([^/]+)"
 
 # ------------------------------------------------------------------ HITS
 HITS_SCALE = 1_000_000
@@ -175,15 +177,22 @@ def dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mid.selectExpr(
+            f"regexp_extract(ua, '{HOST_RE}', 1) AS host",
+            f"regexp_extract(ub, '{HOST_RE}', 1) AS host_b",
             "substr(ua, cast(lcp + 1 as int), cast(la - lcp - lcs as int))"
             " AS alpha",
             "substr(ub, cast(lcp + 1 as int), cast(lb - lcp - lcs as int))"
             " AS beta",
         )
-        .groupBy("alpha", "beta")
+        # DUST rules are mined WITHIN a site family (Bar-Yossef §3):
+        # a same-content pair straddling two hosts is a mirror, not a
+        # spelling rule — and the host key is what lets `dust_apply`
+        # equi-join instead of broadcasting every rule to every URL
+        .filter(F.col("host") == F.col("host_b"))
+        .groupBy("host", "alpha", "beta")
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
-        .orderBy(F.desc("support"), "alpha", "beta")
+        .orderBy(F.desc("support"), "host", "alpha", "beta")
     )
 
 
@@ -337,29 +346,30 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUST_MIN_BETA = 4
 
 
-def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the mined DUST rules back to the URL universe — the
-    second half of Bar-Yossef's loop (mine on round N's fetch output,
-    canonicalize round N+1's frontier BEFORE fetching): for each URL,
-    the highest-support applicable rule (support desc, alpha, beta
-    tie-break) rewrites ``beta → alpha`` (toward the lexicographically
-    smaller spelling, so alias families converge); URLs matching no
-    rule pass through.
+def apply_dust_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Canonicalize ``urls (url, host)`` with ``rules (host, alpha,
+    beta, support)``: per URL the highest-support applicable rule
+    (support desc, alpha, beta tie-break) rewrites ``beta → alpha``;
+    URLs matching no rule pass through.
 
-    Scale shape: the rule table is support-filtered output of
-    systematic site templates — it grows with the number of
-    TEMPLATES, not URLs — so the containment join broadcasts it; the
-    per-URL best-rule pick is a window partitioned by url (group size
-    = matching rules, bounded by the rule table).  The containment
-    predicate itself is row-local codegen over the broadcast."""
+    Scale shape: rules are mined per site family, so the rule table
+    grows with HOSTS — never broadcast it.  The join is a shuffle-hash
+    EQUI-join on host with ``contains(url, beta)`` as the residual
+    predicate: each URL meets only its own site's rules (per-URL cost
+    O(rules-per-host), not O(all rules)), and a template-heavy host is
+    one shuffle key, not a replicated build side.  The best-rule pick
+    is a window partitioned by url (group size = that host's matching
+    rules)."""
     from pyspark.sql import Window
 
-    rules = dust_rules(spark, sf_dir).filter(
-        F.length("beta") >= DUST_MIN_BETA
-    )
-    urls = _alias_urls(_docs(spark, sf_dir)).select("url").distinct()
-    cand = urls.join(
-        F.broadcast(rules), F.expr("contains(url, beta)"), "left"
+    cand = (
+        urls.alias("u")
+        .join(
+            rules.hint("shuffle_hash").alias("r"),
+            F.expr("u.host = r.host AND contains(u.url, r.beta)"),
+            "left",
+        )
+        .select("u.url", "r.alpha", "r.beta", "r.support")
     )
     w = Window.partitionBy("url").orderBy(
         F.expr("coalesce(support, -1L)").desc(), F.asc("alpha"), F.asc("beta")
@@ -375,6 +385,23 @@ def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mined DUST rules back to the URL universe — the
+    second half of Bar-Yossef's loop (mine on round N's fetch output,
+    canonicalize round N+1's frontier BEFORE fetching).  Gate shell
+    over `apply_dust_rules`."""
+    rules = dust_rules(spark, sf_dir).filter(
+        F.length("beta") >= DUST_MIN_BETA
+    )
+    urls = (
+        _alias_urls(_docs(spark, sf_dir))
+        .select("url")
+        .distinct()
+        .selectExpr("url", f"regexp_extract(url, '{HOST_RE}', 1) AS host")
+    )
+    return apply_dust_rules(urls, rules)
 
 
 # ---------------------------------------------------------- crawl budget
@@ -656,15 +683,18 @@ ORACLE_SQL = {
                  least(lcs_raw, m - lcp) AS lcs
           FROM mid2
         )
-        SELECT substr(ua, CAST(lcp + 1 AS INT), CAST(la - lcp - lcs AS INT))
+        SELECT regexp_extract(ua, '{HOST_RE}', 1) AS host,
+               substr(ua, CAST(lcp + 1 AS INT), CAST(la - lcp - lcs AS INT))
                  AS alpha,
                substr(ub, CAST(lcp + 1 AS INT), CAST(lb - lcp - lcs AS INT))
                  AS beta,
                CAST(count(*) AS BIGINT) AS support
         FROM mid3
-        GROUP BY alpha, beta
+        WHERE regexp_extract(ua, '{HOST_RE}', 1)
+                = regexp_extract(ub, '{HOST_RE}', 1)
+        GROUP BY host, alpha, beta
         HAVING count(*) >= {MIN_SUPPORT}
-        ORDER BY support DESC, alpha, beta
+        ORDER BY support DESC, host, alpha, beta
     """,
     "hits_topk": f"""
         WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -819,10 +849,13 @@ ORACLE_SQL["dust_apply"] = f"""
           SELECT * FROM ({ORACLE_SQL["dust_rules"]})
           WHERE length(beta) >= {DUST_MIN_BETA}),
         {_URLS_DUCK},
-        u AS (SELECT DISTINCT url FROM urls),
+        u AS (SELECT DISTINCT url,
+                     regexp_extract(url, '{HOST_RE}', 1) AS host
+              FROM urls),
         cand AS (
           SELECT u.url, r.alpha, r.beta, r.support
-          FROM u LEFT JOIN rules r ON contains(u.url, r.beta)),
+          FROM u LEFT JOIN rules r
+            ON u.host = r.host AND contains(u.url, r.beta)),
         best AS (
           SELECT *, row_number() OVER (
             PARTITION BY url

@@ -189,3 +189,43 @@ def test_token_bucket_hand_log(spark):
     for (h, s), (adm, drp, _) in got.items():
         arr = dict(((x, y), z) for x, y, z in log)[(h, s)]
         assert adm + drp == arr
+
+
+def test_dust_apply_host_keyed_join_handles_skewed_rules(spark):
+    """r3 scale fix: the rule table grows with hosts, so `dust_apply`
+    must EQUI-join on host (contains as residual), never broadcast-
+    nested-loop over the whole rule universe.  One template-heavy host
+    carries 30 rules; the best-support rule must win there, other
+    hosts' rules must never fire cross-host, and the plan must carry a
+    real hash join on the host key."""
+    from llm_scraper_spark.operators.crawlsched import apply_dust_rules
+
+    urls = spark.createDataFrame(
+        [
+            ("https://heavy.example.com/a/x9/page", "heavy.example.com"),
+            ("https://light.example.com/a/x9/page", "light.example.com"),
+            ("https://light.example.com/clean", "light.example.com"),
+        ],
+        "url string, host string",
+    )
+    rules = spark.createDataFrame(
+        # 30 rules on the heavy host, all matching /x9/: support 1..30
+        [("heavy.example.com", f"/y{i}/", "/x9/", i) for i in range(1, 31)]
+        # a cross-host rule that would also match — must not fire
+        + [("other.example.com", "/zzz/", "/x9/", 99)],
+        "host string, alpha string, beta string, support long",
+    )
+    out = {r.url: r for r in apply_dust_rules(urls, rules).collect()}
+    heavy = out["https://heavy.example.com/a/x9/page"]
+    assert heavy.rewritten and heavy.canon_url == (
+        "https://heavy.example.com/a/y30/page"
+    )  # highest support wins
+    light = out["https://light.example.com/a/x9/page"]
+    assert not light.rewritten  # other hosts' rules never cross over
+    assert not out["https://light.example.com/clean"].rewritten
+    plan = (
+        apply_dust_rules(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan

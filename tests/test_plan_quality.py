@@ -57,10 +57,6 @@ BNLJ_JUSTIFIED = {
     "shuffle_skew_report": "1-row (total, max, nb) bucket-stats aggregate",
     "kmv_intersection": "K(=64)-row sketch frames + 1-row exact-stats aggregate",
     "dedup_lsh_eval": "1-row LSH-pair-count aggregate joined onto the 1-row truth/hit aggregate",
-    "dust_apply": (
-        "support-filtered mined rule table — grows with site TEMPLATES, "
-        "not URLs; containment join has no equi-key by nature"
-    ),
 }
 
 
