@@ -52,8 +52,9 @@ whatever URL string it sees) never has to solve:
   — so ``Σ budget_i == G`` exactly, every budget is ``base`` or
   ``base+1``, and both engines agree bit-for-bit because nothing is
   rounded in floating point.  Scale shape: one scalar-total broadcast
-  + one window over HOSTS (domains, not pages — bounded at any corpus
-  size, the same host-bounded argument as the robots rule table).
+  + a bucketed two-phase top-L pick (histogram collect bounded at
+  BUDGET_BUCKETS rows; the only window is partitioned by bucket), so
+  no single task ever ranks the full host set.
 
 All synthetic inputs derive from ``documents``/``events`` with integer
 arithmetic mirrored in the DuckDB twins (no external data).
@@ -406,6 +407,11 @@ def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- crawl budget
 BUDGET_G = 10_000  # URL fetches per round to apportion across hosts
+#: remainder-histogram width for the two-phase leftover pick: the
+#: driver collect is bounded at this many rows and the only window in
+#: the plan is partitioned by bucket (~#hosts/B rows each on a
+#: non-degenerate remainder distribution)
+BUDGET_BUCKETS = 1024
 
 
 def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
@@ -414,9 +420,19 @@ def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
     then one unit each to the largest remainders until the total is
     exact.  All-integer, deterministic (remainder desc, host asc).
 
-    The window runs over hosts — a bounded set at any corpus scale —
-    and the two scalar aggregates (Σrank, Σbase) broadcast."""
+    Scale shape (the r3 fix): the leftover L = G − Σbase is a scalar
+    < #hosts, but ranking EVERY host globally to find the top-L
+    remainders funnels the whole host set through one task
+    ("No Partition Defined for Window").  Two-phase selection instead:
+    (1) a BUDGET_BUCKETS-wide histogram of the remainder range — one
+    hash agg, driver collect bounded at B rows — locates the threshold
+    bucket t and how many units it must still supply; (2) hosts in
+    buckets above t take +1 outright, and only bucket t is ranked
+    (window PARTITIONED by bucket, ~#hosts/B rows).  Remainder-tied
+    hosts concentrate in one bucket in the worst case — the window
+    then sees that tie class only, never the full host set."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     totals = ranked.agg(
         F.sum("rank_units").cast("long").alias("total_rank")
@@ -429,19 +445,38 @@ def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
             "rank_units",
             f"{total_budget}L * rank_units div total_rank AS base",
             f"({total_budget}L * rank_units) % total_rank AS rem",
+            f"({total_budget}L * rank_units) % total_rank"
+            f" * {BUDGET_BUCKETS}L div total_rank AS bkt",
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    leftover = based.agg(
+    # two bounded driver collects: the 1-row leftover scalar and the
+    # ≤B-row remainder histogram (same discipline as the other
+    # bounded collects audited in r3)
+    row = based.agg(
         (F.lit(total_budget) - F.sum("base")).cast("long").alias("left")
-    )
-    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    ).collect()[0]
+    leftover = row["left"]
+    if leftover is None:  # empty input or total_rank == 0
+        return based.selectExpr("host", "rank_units", "base AS budget")
+    hist = {
+        r["bkt"]: r["n"]
+        for r in based.groupBy("bkt").agg(F.count("*").alias("n")).collect()
+    }
+    n_above, thresh, need = 0, BUDGET_BUCKETS, 0
+    for b in sorted(hist, reverse=True):
+        if n_above + hist[b] >= leftover:
+            thresh, need = b, leftover - n_above
+            break
+        n_above += hist[b]
+    w = Window.partitionBy("bkt").orderBy(F.desc("rem"), F.asc("host"))
     return (
-        based.withColumn("pos", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(leftover))
+        based.withColumn("rk", F.row_number().over(w).cast("long"))
         .selectExpr(
             "host",
             "rank_units",
-            "base + if(pos <= left, 1L, 0L) AS budget",
+            f"base + if(bkt > {thresh}L OR"
+            f" (bkt = {thresh}L AND rk <= {need}L), 1L, 0L) AS budget",
         )
     )
 

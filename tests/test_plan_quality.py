@@ -52,7 +52,7 @@ BNLJ_JUSTIFIED = {
     "hits_topk": "1-row per-iteration max-rescale aggregates (HITS fixpoint)",
     "corpus_len_histogram": "1-row corpus-total aggregate",
     "bm25_topk": "1-row (n_docs, total_dl) corpus-stats aggregate",
-    "crawl_budget_allocation": "two 1-row aggregates (Σrank, leftover)",
+    "crawl_budget_allocation": "1-row Σrank aggregate broadcast",
     "funnel_conversion": "three 1-row stage-count aggregates",
     "shuffle_skew_report": "1-row (total, max, nb) bucket-stats aggregate",
     "kmv_intersection": "K(=64)-row sketch frames + 1-row exact-stats aggregate",
@@ -152,3 +152,36 @@ def test_crawl_seen_antijoin_never_broadcasts_seen(spark):
     assert anti_lines, "round plan lost its seen anti-joins"
     for ln in anti_lines:
         assert "ShuffledHashJoin" in ln, f"anti-join not shuffle-hash: {ln}"
+
+
+_WINDOW_PARTITIONED_RE = r"Window \[.*\], \[[^\[\]]*\], \[[^\[\]]*\]$"
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Physical-plan Window nodes print `Window [exprs], [part], [ord]`
+    when partitioned and only `Window [exprs], [ord]` when the whole
+    input funnels through one task — two bracket groups instead of
+    three."""
+    import re
+
+    out = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: ").strip()
+        if s.startswith("Window ["):
+            if not re.search(_WINDOW_PARTITIONED_RE, s):
+                out.append(s)
+    return out
+
+
+def test_budget_allocation_has_no_global_window(spark):
+    """r3 scale fix: the largest-remainder leftover pick must never
+    rank every host in a single-partition window — the two-phase
+    bucket selection leaves only bucket-partitioned windows.  The
+    dense-id `row_number() ORDER BY doc_id` windows constructing the
+    SYNTHETIC host graph are exempt (documented construction-only:
+    production vertex ids come from the data, see graph.host_graph)."""
+    plan = _plan(spark, "crawl_budget_allocation")
+    bad = [
+        ln for ln in _unpartitioned_window_lines(plan) if "doc_id" not in ln
+    ]
+    assert not bad, f"single-partition window(s) in plan: {bad}"
