@@ -642,6 +642,90 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(_simhash_col(spark, sf_dir))
 
 
+def banded_hamming_probe(index: DataFrame, probe: DataFrame) -> DataFrame:
+    """Incremental twin of `banded_hamming_pairs`: probe a NEW shard's
+    signatures against an existing corpus's band index instead of
+    re-pairing the whole corpus — the per-round ingestion pattern
+    (`dedup_incremental` is the MinHash analog).  Both inputs are
+    ``(doc_id, simhash)``; output is ``(probe_doc, index_doc,
+    hamming)`` for every cross near-dup within HAMMING_MAX.
+
+    Cost per shard: O(shard) signature banding + O(collisions)
+    verification — independent of corpus size except through bucket
+    occupancy, which the shared MAX_BUCKET cap bounds.  The hot-bucket
+    cap is computed over index ∪ probe band rows (the window
+    partitions on the same (band, bkey) the probe join shuffles on —
+    no extra shuffle), and the per-pair dedup is the same row-local
+    first-surviving-matching-band rule as the self-join variant: when
+    xor slice j is zero both docs share bucket j, so either side's
+    capmask bit is authoritative."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    band_keys = ", ".join(
+        f"shiftright(simhash, {band * 15}) & {(1 << 15) - 1}"
+        for band in range(4)
+    )
+    tagged = (
+        index.select("doc_id", "simhash").withColumn("side", F.lit(0))
+        .unionByName(
+            probe.select("doc_id", "simhash").withColumn("side", F.lit(1))
+        )
+    )
+    bands = tagged.select(
+        "doc_id",
+        "simhash",
+        "side",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    )
+    sig2 = (
+        bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
+        .groupBy("doc_id", "side")
+        .agg(
+            F.expr("max(simhash) AS simhash"),
+            F.expr(
+                f"sum(if(bsz > {MAX_BUCKET}, shiftleft(1, band), 0))"
+                " AS capmask"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands2 = sig2.select(
+        "doc_id",
+        "simhash",
+        "side",
+        "capmask",
+        F.posexplode(F.expr(f"array({band_keys})")).alias("band", "bkey"),
+    ).filter(F.expr("(shiftright(capmask, band) & 1) = 0"))
+    joined = (
+        bands2.filter(F.col("side") == 1)
+        .alias("a")
+        .join(
+            bands2.filter(F.col("side") == 0).alias("b"),
+            F.expr("a.band = b.band AND a.bkey = b.bkey"),
+        )
+    )
+    xor_sql = "(a.simhash ^ b.simhash)"
+    first_match = " AND ".join(
+        f"(a.band <= {j}"
+        f" OR (shiftright({xor_sql}, {j * 15}) & {(1 << 15) - 1}) != 0"
+        f" OR (shiftright(a.capmask, {j}) & 1) = 1)"
+        for j in range(3)
+    )
+    return (
+        joined.filter(F.expr(first_match))
+        .selectExpr(
+            "a.doc_id AS probe_doc",
+            "b.doc_id AS index_doc",
+            f"cast(bit_count{xor_sql} as bigint) AS hamming",
+        )
+        .filter(F.expr(f"hamming <= {HAMMING_MAX}"))
+        .orderBy("probe_doc", "index_doc")
+    )
+
+
 # --------------------------------------------------- connected components
 def _star_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50

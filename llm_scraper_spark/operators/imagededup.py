@@ -53,6 +53,7 @@ from llm_scraper_spark.operators.dedup import (
     MAX_BUCKET,
     SIMHASH_BITS,
     banded_hamming_pairs,
+    banded_hamming_probe,
 )
 
 try:  # real decoder path — absent in this container (see multimodal)
@@ -164,18 +165,28 @@ def _px_exprs() -> list[str]:
     return out
 
 
-def _synthetic_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pixels) for the planted synthetic corpus — the grid is
-    chained from md5('img:<base_id>:<g>') so the DuckDB twin rebuilds
-    it exactly; all row-local codegen, zero shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hexed = _image_frame(docs).selectExpr(
+def _pixels_from_frame(frame: DataFrame) -> DataFrame:
+    """``(doc_id, base_id, delta, seed)`` → ``(doc_id, pixels)``: the
+    grid is chained from md5('<seed>:<base_id>:<g>') so the DuckDB
+    twin rebuilds it exactly; all row-local codegen, zero shuffle."""
+    hexed = frame.selectExpr(
         "doc_id",
         "delta",
-        *[f"md5(concat('img:', base_id, ':{g}')) AS h{g}" for g in range(4)],
+        *[
+            f"md5(concat(seed, ':', base_id, ':{g}')) AS h{g}"
+            for g in range(4)
+        ],
     )
     return hexed.selectExpr(
         "doc_id", f"array({', '.join(_px_exprs())}) AS pixels"
+    )
+
+
+def _synthetic_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pixels) for the planted synthetic corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _pixels_from_frame(
+        _image_frame(docs).withColumn("seed", F.lit("img"))
     )
 
 
@@ -190,6 +201,61 @@ def image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted brightness perturbation within a few bits."""
     sig = ahash_from_pixels(_synthetic_pixels(spark, sf_dir))
     return banded_hamming_pairs(sig)
+
+
+# ------------------------------------------------------ incremental dedup
+#: id offset for the shard's truly-novel images (fresh md5 chain)
+NOVEL_ID = 3_000_000
+
+
+def image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup of a NEW crawl shard against the
+    EXISTING image corpus — the media pipeline is append-per-round
+    (reference: util/media/media_downloader.py:9-63 fetches per crawl
+    round), so per-round probing is the real production shape:
+    re-pairing the whole corpus per shard is off the table at 100 TB.
+    The corpus keeps its aHash band index (rebuilt from the split
+    here, as `dedup_incremental` does — a materialized index is a
+    drop-in); only the new shard is hashed and probed via
+    `dedup.banded_hamming_probe`'s capped (band, bkey) equi-join.
+
+    Deterministic fixture mirroring `dedup_incremental`: corpus = the
+    original images; shard = near copies (doc_id%10==0, pixel-0
+    brightened), exact copies (doc_id%17==0, identical grid), and
+    truly-novel images (doc_id%7==0, an unrelated md5 chain) that a
+    correct probe must NOT match.  Output: (batch_doc, corpus_doc,
+    hamming) per detected cross duplicate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        "doc_id",
+        F.col("doc_id").alias("base_id"),
+        F.lit(0).cast("bigint").alias("delta"),
+        F.lit("img").alias("seed"),
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("doc_id").alias("base_id"),
+        F.lit(NEAR_DELTA).cast("bigint").alias("delta"),
+        F.lit("img").alias("seed"),
+    )
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.col("doc_id").alias("base_id"),
+        F.lit(0).cast("bigint").alias("delta"),
+        F.lit("img").alias("seed"),
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + NOVEL_ID).alias("doc_id"),
+        F.col("doc_id").alias("base_id"),
+        F.lit(0).cast("bigint").alias("delta"),
+        F.lit("new").alias("seed"),
+    )
+    shard = near.unionByName(exact).unionByName(novel)
+    sig_c = ahash_from_pixels(_pixels_from_frame(corpus))
+    sig_s = ahash_from_pixels(_pixels_from_frame(shard))
+    return banded_hamming_probe(sig_c, sig_s).selectExpr(
+        "probe_doc AS batch_doc", "index_doc AS corpus_doc", "hamming"
+    )
 
 
 # ------------------------------------------------------------ DuckDB twins
@@ -271,7 +337,71 @@ ORACLE_SQL = {
     """,
 }
 
+_INC_HEX_SQL = ", ".join(
+    f"md5(seed || ':' || base_id || ':{g}') AS h{g}" for g in range(4)
+)
+
+ORACLE_SQL["image_dedup_incremental"] = f"""
+    WITH imgs AS (
+      SELECT doc_id, doc_id AS base_id, CAST(0 AS BIGINT) AS delta,
+             'img' AS seed, 0 AS side
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, CAST({NEAR_DELTA} AS BIGINT),
+             'img', 1
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id, CAST(0 AS BIGINT), 'img', 1
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + {NOVEL_ID}, doc_id, CAST(0 AS BIGINT), 'new', 1
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    hexed AS (SELECT doc_id, side, delta, {_INC_HEX_SQL} FROM imgs),
+    px AS (
+      SELECT doc_id, side, {", ".join(_duck_px(i) for i in range(N_PIXELS))}
+      FROM hexed
+    ),
+    summed AS (
+      SELECT *, {" + ".join(f"p{i}" for i in range(N_PIXELS))} AS s FROM px
+    ),
+    sig AS (
+      SELECT doc_id, side,
+             CAST({" + ".join(
+                 f"CASE WHEN p{i} * {N_PIXELS} > s"
+                 f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+                 for i in range(N_PIXELS)
+             )} AS BIGINT) AS simhash
+      FROM summed
+    ),
+    bands_all AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, side, simhash, {band} AS band,"
+          f" (simhash >> {band * 15}) & {(1 << 15) - 1} AS bkey FROM sig"
+          for band in range(4)
+      )}
+    ),
+    bands AS (
+      SELECT doc_id, side, simhash, band, bkey FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM bands_all
+      ) WHERE bsz <= {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey
+       AND a.side = 1 AND b.side = 0
+    )
+    SELECT batch_doc, corpus_doc,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+    ORDER BY batch_doc, corpus_doc
+"""
+
 QUERIES = {
     "image_ahash": image_ahash,
     "image_dedup_pairs": image_dedup_pairs,
+    "image_dedup_incremental": image_dedup_incremental,
 }

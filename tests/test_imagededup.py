@@ -82,3 +82,25 @@ def test_ahash_brightness_invariance(spark):
 def test_hamming_cut_enforced(spark):
     rows = QUERIES["image_dedup_pairs"](spark, SF_DIR).collect()
     assert all(r["hamming"] <= HAMMING_MAX for r in rows)
+
+
+def test_incremental_probe_finds_cross_shard_dups_only(spark):
+    """r4: per-round image dedup probes the new shard against the
+    corpus band index.  Every planted exact copy must surface at
+    hamming 0, near copies mostly within budget, and the truly-novel
+    images (fresh md5 chain) must match nothing."""
+    from llm_scraper_spark.operators.imagededup import NOVEL_ID
+
+    out = QUERIES["image_dedup_incremental"](spark, SF_DIR).collect()
+    assert out
+    by_pair = {(r.batch_doc, r.corpus_doc): r.hamming for r in out}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    planted_exact = {(i + 2000000, i) for i in ids if i % 17 == 0}
+    planted_near = {(i + 1000000, i) for i in ids if i % 10 == 0}
+    assert planted_exact <= set(by_pair), "exact copies must all surface"
+    assert all(by_pair[p] == 0 for p in planted_exact)
+    caught = planted_near & set(by_pair)
+    assert len(caught) >= 0.8 * len(planted_near)
+    # novel shard images share no chain with the corpus: zero matches
+    assert not [p for p in by_pair if p[0] >= NOVEL_ID]
