@@ -37,6 +37,7 @@ from llm_scraper_spark.operators import (
     sq8,
     textstats,
     tokenizer,
+    training_batch,
     tpch_extra,
     tpch_extra2,
     webarchive,
@@ -72,6 +73,7 @@ _MODULES = (
     curation,
     scrub,
     packing,
+    training_batch,
     graph,
     multimodal,
     imagededup,

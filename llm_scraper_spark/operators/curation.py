@@ -237,6 +237,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin 4 the fallback fires with probability ≈ e^-50 per
     stratum)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample_over(docs)
+
+
+def stratified_sample_over(docs: DataFrame) -> DataFrame:
+    """The sampling kernel over any ``(doc_id, lang, source)`` frame —
+    `stratified_sample` applies it to the raw corpus; the composed
+    training-batch pipeline applies it to curated+decontaminated
+    survivors.  Same prefilter, same exactness fallback."""
     surv, thr = _sample_survivors(docs)
     per = (
         thr.join(

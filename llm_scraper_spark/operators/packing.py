@@ -150,7 +150,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _with_words(_docs(spark, sf_dir)).select(
         "doc_id", F.size("ws").cast("long").alias("n_tokens")
     )
-    hi = int(_max_doc_id(spark, sf_dir)) + 1
+    return pack_over(toks, int(_max_doc_id(spark, sf_dir)) + 1)
+
+
+def pack_over(toks: DataFrame, hi: int) -> DataFrame:
+    """The packing kernel over any ``(doc_id, n_tokens)`` frame with
+    doc_ids < ``hi`` — `pack_sequences` applies it to the raw corpus;
+    the composed training-batch pipeline applies it to the sampled
+    survivor set.  Identical two-phase prefix-sum plan."""
     b = F.least(
         F.lit(N_BUCKETS - 1),
         (F.col("doc_id") * N_BUCKETS / F.lit(hi)).cast("int"),
