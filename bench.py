@@ -433,6 +433,17 @@ def summarize_pairs(
                         "treat as low-confidence)"
                     )
     out["scaling_efficiency"] = round(med, 3) if med is not None else None
+    # Explicit top-level estimator tag (round-3 advice item 8): a JSON
+    # consumer must be able to tell a fallback epoch from a median
+    # epoch without parsing prose — the prose `estimator` string and
+    # the conditional `estimator_fallback` key both stay, this is the
+    # machine-readable discriminator.
+    if med is None:
+        out["estimator_used"] = None
+    elif "estimator_fallback" in out:
+        out["estimator_used"] = out["estimator_fallback"]
+    else:
+        out["estimator_used"] = "median_of_valid_pairs"
     # disclosed secondary estimator: pool all legs per level, ratio of
     # medians — maximally robust to per-leg weather, but it decouples
     # the legs (no adjacency), so it is context, not the headline

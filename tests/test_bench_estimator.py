@@ -185,3 +185,19 @@ def test_speedup_and_fallback_respect_superlinear_guard():
     assert not out2["estimator_fallback"].startswith("ratio_of_maxes")
     # ... and the disclosure names the raw-median branch honestly
     assert out2["estimator_fallback"].startswith("raw median")
+
+
+def test_estimator_used_field_discriminates_fallbacks():
+    """BENCH JSON carries a top-level `estimator_used` tag: the median
+    path and every fallback are distinguishable without parsing
+    prose."""
+    # clean epoch -> median path
+    out = summarize([mkpair(1, 4, 1000, 3400), mkpair(1, 4, 1000, 3300)])
+    assert out["estimator_used"] == "median_of_valid_pairs"
+    assert "estimator_fallback" not in out
+    # degraded epoch (no usable pair) -> fallback tag matches exactly
+    out2 = summarize(
+        [mkpair(1, 4, 3859, 15586), mkpair(1, 4, 4571, 16005)],
+        small_leg_band=0.99,
+    )
+    assert out2["estimator_used"] == out2["estimator_fallback"]
