@@ -93,7 +93,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated.  Plan: gram posting tables on both sides, one
     equi-join on the 32-byte gram hash, per-doc count aggregate —
     O(postings), never O(docs²), and only hashes shuffle."""
-    grams = _gram_sets(_docs(spark, sf_dir))
+    return decontaminate_over(_docs(spark, sf_dir))
+
+
+def decontaminate_over(docs: DataFrame) -> DataFrame:
+    """The decon kernel over any ``(doc_id, text)`` frame — the
+    composed training-batch pipeline feeds it only curation survivors
+    (plus the full eval split), shrinking the train-side gram postings
+    to the docs whose verdict is actually consumed."""
+    grams = _gram_sets(docs)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = grams.filter(~is_eval).select(
         "doc_id", F.explode("grams").alias("gram")

@@ -61,24 +61,47 @@ def _stage_frames(spark: SparkSession, sf_dir: str):
     """(docs, cur_ids, clean_ids, sampled) — each id frame ⊆ the
     previous one by construction, so conservation is structural and
     the audit documents it."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = curation._docs(spark, sf_dir)
+    # each id frame is 8 bytes/row and consumed by BOTH the next stage
+    # and the audit's flag joins — persist so the heavy stage pipelines
+    # (curation gates, gram-overlap decon) run once, not per consumer
     cur_ids = (
         curation.corpus_curation_pipeline(spark, sf_dir)
         .filter(F.col("kept") == 1)
         .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # decon only needs verdicts for curation SURVIVORS — restrict the
+    # train-side gram postings to them (the eval split stays whole:
+    # contamination is measured against ALL held-out grams).  Verdicts
+    # for curation-dropped docs are never consumed, so this is
+    # result-identical to running decon corpus-wide.
+    sub = (
+        docs.select("doc_id", "text")
+        .join(cur_ids, "doc_id")
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+        .unionByName(
+            docs.select("doc_id", "text").filter(
+                F.col("doc_id") % EVAL_MOD == 0
+            )
+        )
     )
     decon_ok = (
-        curation.decontaminate_ngram_overlap(spark, sf_dir)
+        curation.decontaminate_over(sub)
         .filter(F.col("contaminated") == 0)
         .select("doc_id")
     )
     # eval-split docs (doc_id % EVAL_MOD == 0) are absent from the
     # decon output entirely, so this inner join drops them too — a
     # training batch must never contain held-out benchmark docs
-    clean_ids = cur_ids.join(decon_ok, "doc_id")
+    clean_ids = cur_ids.join(decon_ok, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sampled = curation.stratified_sample_over(
         docs.select("doc_id", "lang", "source").join(clean_ids, "doc_id")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return docs, cur_ids, clean_ids, sampled
 
 
