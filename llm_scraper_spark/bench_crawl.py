@@ -92,6 +92,12 @@ def run(cores: int, seeds: int, rounds: int, budget_ms: int) -> dict:
             salt_buckets=32,
             use_bloom=True,
             fetch_partitions=int(fp_env) if fp_env else max(2 * cores, 8),
+            # Priority-band frontier pruning (r4): the candidate
+            # pipeline reads only the bands the budget can consume;
+            # exact by construction (shortfall check falls back to the
+            # full read).  Identical config at every parallelism level,
+            # so N→4N ratios stay apples-to-apples.
+            band_prune=os.environ.get("SPARK_GRAFT_BAND_PRUNE", "1") == "1",
         )
         crawler.init_state(bench_seed_urls(seeds), bench_robots_rows())
         manifests = crawler.run(max_rounds=rounds)

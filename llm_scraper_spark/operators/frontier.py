@@ -43,6 +43,28 @@ DEFAULT_CRAWL_DELAY_MS = 1000
 #: the URL is marked resolved (gave up) so it is never rescheduled.
 DEFAULT_MAX_ATTEMPTS = 3
 
+#: Seen-set size above which the exact anti-joins switch from
+#: shuffled-hash to sort-merge.  SHJ is fastest while every partition's
+#: in-heap UnsafeHashedRelation fits, but it CANNOT spill its build
+#: side — and AQE coalesces the skinny seen exchange toward its
+#: 64 MB advisory size, so per-task builds grow with the crawl, not
+#: with the partition count.  Measured on the 10^7-seed probe
+#: (local[32], 16 g heap): SHJ build OOM at seen ≈ 7.0–7.7 M rows in
+#: the next-frontier anti-join.  Sort-merge spills both sides to disk
+#: and is the only strategy that holds at 10^10 URLs; the threshold
+#: keeps the cheap path for the regime where it is provably safe
+#: (≈0.5 GB total build at 4 M rows, spread over the join's
+#: partitions).
+SEEN_SHJ_MAX_ROWS = 4_000_000
+
+
+def _seen_join_hint(seen_rows: int | None) -> str:
+    """Join-strategy policy for anti-joins whose right side is the
+    (unbounded) seen set: hash while small, merge (spillable) beyond."""
+    if seen_rows is not None and seen_rows > SEEN_SHJ_MAX_ROWS:
+        return "merge"
+    return "shuffle_hash"
+
 _FETCH_SCHEMA = (
     "doc_id string, spans array<struct<kind:string,text:string,"
     "media_ref:string,offset:int>>, outlinks array<string>, "
@@ -131,6 +153,7 @@ def run_round(
     bloom: BloomFilter | None = None,
     use_bloom: bool = True,
     seen_count_estimate: int | None = None,
+    seen_rows: int | None = None,
     fail_mod: int = 0,
     fail_attempts: int = 0,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
@@ -170,9 +193,13 @@ def run_round(
     # Without the hint, AQE's size estimate under-costs the seen scan
     # and builds a whole-seen-set in-heap HashedRelation — measured as
     # full-GC storms (345 s GC in a 60 s stage) once seen passes ~10^6
-    # rows.  SHUFFLE_HASH (not MERGE): the per-partition build is
-    # small and skips the sort.
-    seen_keys = seen.select("url_hash", "url").hint("shuffle_hash")
+    # rows.  Strategy is two-regime (see _seen_join_hint): shuffled
+    # hash while the per-partition build provably fits, sort-merge
+    # (fully spillable) beyond.
+    seen_keys = seen.select("url_hash", "url").hint(
+        _seen_join_hint(seen_rows if seen_rows is not None
+                        else seen_count_estimate)
+    )
     if use_bloom and bloom is not None:
         flagged = with_bloom_flag(spark, frontier, bloom)
         fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
@@ -280,6 +307,7 @@ def run_round(
             frontier_delta(
                 fetched, seen, seen_delta, deferred, round_no=round_no,
                 retries=rt, inlink_weight=inlink_weight,
+                seen_rows=seen_rows,
             )
         )
 
@@ -305,9 +333,14 @@ def frontier_delta(
     round_no: int,
     retries: DataFrame | None = None,
     inlink_weight: float = 0.0,
+    seen_rows: int | None = None,
+    extra_known: DataFrame | None = None,
 ) -> DataFrame:
     """W3: new frontier links = canonicalized outlinks of ``fetched``,
-    anti-joined against (seen ∪ this round's delta ∪ deferred).
+    anti-joined against (seen ∪ this round's delta ∪ deferred ∪
+    ``extra_known`` — the band-pruned passthrough's (url_hash, url)
+    keys, which are still scheduled even though this round never read
+    them).
 
     ``fetched`` should be the round's WRITTEN parquet snapshot when
     driving a real crawl (Crawler.run) so the fetch kernel provably
@@ -355,9 +388,12 @@ def frontier_delta(
     # ONE anti-join against the union of all known URLs, not three
     # chained ones: each chained join re-shuffles the (wide) canon side,
     # so folding the right sides into a single union removes two full
-    # shuffles of the link set per round.  shuffle_hash, not broadcast:
-    # every right side here scales with the crawl (see the seen-set
-    # note in run_round).
+    # shuffles of the link set per round.  Never broadcast: every right
+    # side here scales with the crawl; strategy is the two-regime
+    # policy (_seen_join_hint) — hash while small, spillable merge
+    # beyond (the 10^7-seed probe OOM'd THIS join's SHJ build first:
+    # its right side is seen ∪ delta ∪ deferred, the largest in the
+    # round).
     known = (
         seen.select("url_hash", "url")
         .unionByName(seen_delta.select("url_hash", "url"))
@@ -368,8 +404,11 @@ def frontier_delta(
         # scheduled — without this union a page linking to a currently-
         # failing URL would duplicate it in the next frontier
         known = known.unionByName(retries.select("url_hash", "url"))
+    if extra_known is not None:
+        known = known.unionByName(extra_known.select("url_hash", "url"))
     return canon.join(
-        known.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
+        known.hint(_seen_join_hint(seen_rows)), ["url_hash", "url"],
+        "left_anti"
     ).select(
         "url", "url_hash", "host", "priority", "depth",
         "discovered_round", "attempt",

@@ -154,6 +154,43 @@ def test_crawl_seen_antijoin_never_broadcasts_seen(spark):
         assert "ShuffledHashJoin" in ln, f"anti-join not shuffle-hash: {ln}"
 
 
+def test_crawl_seen_antijoin_switches_to_sort_merge_at_scale(spark):
+    """r4 probe fix: SHJ cannot spill its build side, and the 10^7-seed
+    probe OOM'd the next-frontier anti-join's hash build at seen ≈ 7M
+    rows.  Past SEEN_SHJ_MAX_ROWS every seen-side LeftAnti must plan as
+    SortMergeJoin (spillable) — and still never broadcast."""
+    from llm_scraper_spark import schemas
+    from llm_scraper_spark.operators.frontier import (
+        SEEN_SHJ_MAX_ROWS,
+        run_round,
+    )
+    from llm_scraper_spark.plans.crawler import seeds_to_frontier
+    from llm_scraper_spark.sources.synthweb import robots_rows, seed_urls
+
+    frontier = seeds_to_frontier(spark, seed_urls(50))
+    seen = frontier.select("url_hash", "url").limit(0)
+    robots = spark.createDataFrame(robots_rows(), schemas.ROBOTS)
+    res = run_round(
+        spark,
+        frontier,
+        seen,
+        robots,
+        round_no=0,
+        budget_ms=2000,
+        salt_buckets=4,
+        use_bloom=False,
+        bloom=None,
+        fetch_partitions=4,
+        seen_rows=SEEN_SHJ_MAX_ROWS + 1,
+    )
+    plan = res.next_frontier._jdf.queryExecution().executedPlan().toString()
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, "round plan lost its seen anti-joins"
+    for ln in anti_lines:
+        assert "SortMergeJoin" in ln, f"anti-join not sort-merge: {ln}"
+        assert "Broadcast" not in ln
+
+
 _WINDOW_PARTITIONED_RE = r"Window \[.*\], \[[^\[\]]*\], \[[^\[\]]*\]$"
 
 
