@@ -181,6 +181,12 @@ class Crawler:
         # 10^10-scale bench path turns it on.
         self.band_prune = band_prune
         self.band_margin = band_margin
+        # adaptive: a fallback means the margin under-read for this
+        # web's host/budget shape — quadruple it so the next rounds
+        # read deeper instead of paying the double-round again (resets
+        # only with the crawler instance; a long crawl converges to
+        # the margin its regime needs)
+        self._band_margin_eff = band_margin
 
     # ---- state io ------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -203,17 +209,42 @@ class Crawler:
         self._write_frontier(seeds_to_frontier(self.spark, seed_list), 0)
 
     # ---- band-pruned frontier layout -----------------------------------
+    #: url_hash sub-buckets per priority band (hash-tie-break pruning)
+    BAND_HASH_BUCKETS = 64
+
+    def _band_expr(self):
+        """The band key.  Base: ``floor(priority)`` — every unread
+        band's rows sort strictly after every read band's in the
+        politeness order (priority, url_hash).  With the default
+        ``inlink_weight == 0`` priority IS the integer depth, so all
+        priorities within a band are EQUAL and the tie-break key
+        (url_hash) extends the pruning: bands become
+        ``depth × 64 + monotone url_hash bucket`` — the huge
+        constant-depth seed band splits into 64 strictly-ordered
+        sub-bands and the budget reads ~1/64th of it.  A nonzero
+        inlink_weight makes priorities vary WITHIN a depth, which
+        breaks the sub-band prefix argument — so that mode keeps the
+        coarse (still exact) depth bands."""
+        base = F.floor("priority").cast("long")
+        if self.inlink_weight:
+            return base.cast("int")
+        bucket = (
+            F.shiftright(F.col("url_hash"), 58).cast("long") + F.lit(32)
+        )
+        return (base * self.BAND_HASH_BUCKETS + bucket).cast("int")
+
     def _write_frontier(self, df: DataFrame, r: int) -> None:
         """Frontier snapshot write.  Band-pruned mode partitions by
-        ``_band = floor(priority)`` (hive layout, so reads prune whole
-        directories) and clusters the repartition on (band, url_hash)
-        so each write task lands in ~one band — file count stays
-        O(write width), and every band's files are balanced."""
+        the band key (hive layout, so reads prune whole directories);
+        ``repartitionByRange(band, url_hash)`` gives each write task a
+        contiguous, row-balanced band range — file count stays
+        O(write width + bands) and a fat band splits by hash range
+        instead of becoming one straggler file."""
         path = self._p("frontier", f"r{r}.parquet")
         if self.band_prune:
             (
-                df.withColumn("_band", F.floor("priority").cast("int"))
-                .repartition(
+                df.withColumn("_band", self._band_expr())
+                .repartitionByRange(
                     self._frontier_partitions(),
                     F.col("_band"),
                     F.col("url_hash"),
@@ -254,7 +285,7 @@ class Crawler:
         whose cumulative rows reach ``band_margin ×`` that estimate."""
         bands = self._frontier_bands(fpath) if self.band_prune else []
         if bands and prev_fetched > 0:
-            need = self.band_margin * prev_fetched
+            need = self._band_margin_eff * prev_fetched
             cum, cut = 0, len(bands)
             for i, b in enumerate(bands):
                 cum += b["rows"]
@@ -650,6 +681,7 @@ class Crawler:
                 # resume).  Expected to be rare: the estimate errs
                 # toward reading extra bands.
                 prune_fallback = True
+                self._band_margin_eff *= 4
                 passthrough, prune_info = None, None
                 frontier = self.spark.read.parquet(fpath).drop("_band")
                 res = run_round(
