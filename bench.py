@@ -649,6 +649,10 @@ def main() -> None:
             )
             result["urls_fetched_deduped_per_sec"] = peak
             result["scaling_efficiency"] = crawl.get("scaling_efficiency")
+            # top-level, not just nested: a consumer must not have to
+            # dig into `crawl` to tell a fallback epoch from a median
+            # epoch (round-3 advice item 8)
+            result["estimator_used"] = crawl.get("estimator_used")
     finally:
         os.dup2(real_stdout, 1)
     # The round-2 harness kept only the last few KB of this line and
