@@ -119,3 +119,21 @@ def test_fallback_round_equals_unpruned(spark, tmp_path):
         bp = m.get("band_prune") or {}
         if bp.get("bands_read", 0) < bp.get("bands_total", 0):
             assert m["prune_fallback"]
+
+
+def test_banded_layout_resumes_identically(spark, tmp_path):
+    """A fresh process resuming a band-pruned crawl (hive-partitioned
+    frontier, manifest-sourced prev_fetched) must produce the same
+    fetch schedule as an uninterrupted run."""
+    kw = dict(seeds=2000, budget_ms=500)
+    a, _ = _run(spark, str(tmp_path / "whole"), band_prune=True,
+                rounds=4, **kw)
+    wd = str(tmp_path / "resumed")
+    b, _ = _run(spark, wd, band_prune=True, rounds=2, **kw)
+    # fresh crawler object = fresh process state (bloom, margins)
+    c2 = Crawler(spark, wd, budget_ms=500, salt_buckets=4,
+                 fetch_partitions=4, band_prune=True)
+    ms2 = c2.run(max_rounds=4)
+    assert [m["round"] for m in ms2] == [2, 3]
+    assert _fetch_schedule(spark, str(tmp_path / "whole"), 4) == \
+        _fetch_schedule(spark, wd, 4)
