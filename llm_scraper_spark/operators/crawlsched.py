@@ -458,7 +458,11 @@ def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
     ).collect()[0]
     leftover = row["left"]
     if leftover is None:  # empty input or total_rank == 0
-        return based.selectExpr("host", "rank_units", "base AS budget")
+        out = based.selectExpr(
+            "host", "rank_units", "base AS budget"
+        ).localCheckpoint(eager=True)
+        based.unpersist()
+        return out
     hist = {
         r["bkt"]: r["n"]
         for r in based.groupBy("bkt").agg(F.count("*").alias("n")).collect()
@@ -470,7 +474,11 @@ def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
             break
         n_above += hist[b]
     w = Window.partitionBy("bkt").orderBy(F.desc("rem"), F.asc("host"))
-    return (
+    # eager localCheckpoint materializes the result (reading `based`
+    # from its cache once) so `based` can be unpersisted HERE instead
+    # of leaking one cached per-host frame per invocation (r4 ADVICE);
+    # the caller gets a lineage-free frame, one row per host
+    out = (
         based.withColumn("rk", F.row_number().over(w).cast("long"))
         .selectExpr(
             "host",
@@ -478,7 +486,10 @@ def allocate_budget(ranked: DataFrame, total_budget: int) -> DataFrame:
             f"base + if(bkt > {thresh}L OR"
             f" (bkt = {thresh}L AND rk <= {need}L), 1L, 0L) AS budget",
         )
+        .localCheckpoint(eager=True)
     )
+    based.unpersist()
+    return out
 
 
 def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,18 @@ from ..sources.synthweb import fetch_batch, transient_ok
 
 DEFAULT_CRAWL_DELAY_MS = 1000
 
+
+def host_budget_col(budget_ms: int):
+    """Per-host politeness budget — fetches a host admits per round:
+    ``greatest(1, floor(budget_ms / crawl_delay_ms))`` with the default
+    delay for hosts whose robots row has none.  THE single definition:
+    run_round's slot gate and the band-pruning shortfall check
+    (plans/crawler._prune_fell_short) must agree on this expression or
+    the pruning exactness guarantee silently breaks, so both import it
+    from here (r4 ADVICE)."""
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
+    return F.greatest(F.lit(1), F.floor(F.lit(budget_ms) / delay)).cast("int")
+
 #: P10 analog of the reference's RETRIES=3 loops
 #: (scrape_eccomerce.py:26): a failed fetch re-enters the next round's
 #: frontier with attempt+1 until this many attempts are spent, then
@@ -252,8 +264,7 @@ def run_round(
     # numbers of eligible rows are identical to the one-phase window's
     # (crawl-ordering equality is unaffected; deferred rows need no
     # slot).  Phase-2 input per host is capped, so the skew is gone.
-    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS))
-    budget = F.greatest(F.lit(1), F.floor(F.lit(budget_ms) / delay)).cast("int")
+    budget = host_budget_col(budget_ms)
     w_local = Window.partitionBy("host", "_salt").orderBy("priority", "url_hash")
     # persisted: the survivor and locally-deferred splits both read this
     pre = (

@@ -311,7 +311,7 @@ class Crawler:
         politeness budget from the read bands — the one case where
         pruning could have changed the selection (unread rows are
         strictly worse-priority, so a filled host's picks are exact)."""
-        from ..operators.frontier import DEFAULT_CRAWL_DELAY_MS
+        from ..operators.frontier import host_budget_col
 
         snap_hosts = (
             self.spark.read.parquet(self._p("fetch", f"r{r}.parquet"))
@@ -323,18 +323,9 @@ class Crawler:
             .distinct()
             .join(snap_hosts, "host", "left")
             .join(robots.select("host", "crawl_delay_ms"), "host", "left")
-            .withColumn(
-                "_budget",
-                F.greatest(
-                    F.lit(1),
-                    F.floor(
-                        F.lit(self.budget_ms)
-                        / F.coalesce(
-                            "crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)
-                        )
-                    ),
-                ),
-            )
+            # the SAME budget expression run_round gates slots with —
+            # shared helper so the two sides cannot drift (r4 ADVICE)
+            .withColumn("_budget", host_budget_col(self.budget_ms))
             .filter(F.coalesce(F.col("_n"), F.lit(0)) < F.col("_budget"))
         )
         return bool(short.limit(1).count())
@@ -683,6 +674,11 @@ class Crawler:
                 prune_fallback = True
                 self._band_margin_eff *= 4
                 passthrough, prune_info = None, None
+                # release the discarded pruned round's persisted frames
+                # (gated/pre/slotted) BEFORE res is reassigned — without
+                # this they stay cached for the rest of the app (r4
+                # ADVICE)
+                res.unpersist()
                 frontier = self.spark.read.parquet(fpath).drop("_band")
                 res = run_round(
                     self.spark,
