@@ -10,6 +10,14 @@ a byte-identical crawl (tested in tests/test_resume.py).
 Layout under ``workdir``:
     robots.parquet                 per-host rules (dim table)
     frontier/r{N}.parquet          frontier *entering* round N
+                                   (plain mode; band_prune mode keeps
+                                   the frontier in frontier_log/ below)
+    frontier_log/g{G}.parquet      one immutable banded GENERATION of
+                                   the log-structured frontier
+                                   (band_prune mode): hive dirs
+                                   ``_band=B/`` written once, consumed
+                                   whole-band, never rewritten — see
+                                   "Log-structured frontier" below
     fetch/r{N}.parquet             ONE fetched-superset snapshot per
                                    round (url, spans, outlinks, slot,
                                    host, …) — the fetch log, documents
@@ -27,6 +35,26 @@ The URL-seen Bloom prefilter is maintained incrementally on the driver
 distributed); on resume it is rebuilt once from the committed seen
 set.  When the seen count approaches bitmap capacity the filter is
 rebuilt at 4x (amortized O(1) per round).
+
+Log-structured frontier (band_prune mode, round 5): the frontier is a
+LOG of immutable banded generations, not a per-round snapshot.  Each
+round (1) picks the lowest priority bands across ALL live generations
+that cover ``band_margin x`` the previous round's fetch count, (2)
+runs the candidate pipeline only over those (generation, band) units,
+and (3) appends ONE new generation holding just the round's delta —
+deferred ∪ retries ∪ newly discovered links.  Unread band directories
+are never read, shuffled, or rewritten; per-round frontier IO is
+O(delta), where the previous design's passthrough rewrite was
+O(frontier) (measured dominant at the 10^7-seed probe, linear at
+10^10).  The band key is a pure function of (priority, url_hash), so
+the strict band ordering that makes pruning exact is independent of
+which generation a row sits in; the invariant "each URL lives in at
+most one live unit" holds inductively because every new generation is
+anti-joined against the unread units' keys (``extra_known``).  The
+manifest commits the live-unit list (generation, band, rows) per
+round; consumed unit dirs are deleted only after the commit, and a
+periodic compaction folds all live units into one fresh generation to
+bound generation count and file count.
 
 Reference analogs: append-mode output files + manual slice resume
 (scrape_eccomerce.py:289 ``"a"`` mode; extract_pages.py:137
@@ -131,6 +159,7 @@ class Crawler:
         inlink_weight: float = 0.0,
         band_prune: bool = False,
         band_margin: int = 4,
+        frontier_compact_gens: int = 8,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -160,27 +189,37 @@ class Crawler:
         self.bloom_capacity = bloom_capacity or 0
         self._bloom = None  # incremental URL-seen prefilter
         self._bloom_cap = 0  # capacity the current bitmap was built at
-        # Priority-band frontier pruning (the log-structured-priority-
-        # queue idea of Heritrix/IRLbot, expressed as parquet partition
-        # pruning): frontier snapshots are partitioned by
-        # floor(priority), and each round runs the candidate pipeline
-        # (bloom probe, seen anti-join, robots gate, the two politeness
-        # rank windows) only over the lowest bands that can cover the
-        # round's budget — unread bands ride through to the next
-        # frontier VERBATIM (IO only, no joins/windows).  Exactness:
-        # integer banding makes every unread row's priority STRICTLY
-        # worse than every read row's, so a host that filled its
-        # politeness budget from read bands made identical picks; any
-        # host that both fell short AND has unread rows trips the
-        # per-round shortfall check, which redoes the round with the
-        # full frontier (correctness never depends on the estimate).
-        # Semantics delta, documented: robots-blocked and already-seen
-        # rows in UNREAD bands are absorbed in the later round that
-        # first reads their band (a drained crawl converges to the
-        # exact same final state — tested).  Off by default; the
-        # 10^10-scale bench path turns it on.
+        # Priority-band frontier pruning over a LOG-STRUCTURED frontier
+        # (the Heritrix/IRLbot priority-queue idea expressed as parquet
+        # partition pruning + an LSM-style generation log): each round
+        # runs the candidate pipeline (bloom probe, seen anti-join,
+        # robots gate, the two politeness rank windows) only over the
+        # lowest (generation, band) units that cover the round's
+        # budget, and appends its delta as a new immutable generation —
+        # unread units are NEVER touched (no IO at all; the module
+        # docstring has the full design).  Exactness: integer banding
+        # makes every unread row's politeness sort key STRICTLY worse
+        # than every read row's (the band is a pure function of
+        # (priority, url_hash), so this holds across generations), so
+        # a host that filled its politeness budget from read bands made
+        # identical picks; any host that both fell short AND has unread
+        # rows trips the per-round shortfall check, which redoes the
+        # round with the full frontier (correctness never depends on
+        # the estimate).  Semantics delta, documented: robots-blocked
+        # and already-seen rows in UNREAD bands are absorbed in the
+        # later round that first reads their band (a drained crawl
+        # converges to the exact same final state — tested).  Off by
+        # default; the 10^10-scale bench path turns it on.
         self.band_prune = band_prune
         self.band_margin = band_margin
+        # fold all live generations into one fresh generation when the
+        # live-generation count reaches this (bounds file count and the
+        # per-round dir listings; amortized O(frontier / N) per round)
+        self.frontier_compact_gens = frontier_compact_gens
+        # log-structured frontier state: {"next_gen": int, "live":
+        # [{"gen", "band", "rows"}, ...]} — committed in each round's
+        # manifest, bootstrapped from it (or from disk) on resume
+        self._flog: dict | None = None
         # adaptive: a fallback means the margin under-read for this
         # web's host/budget shape — quadruple it so the next rounds
         # read deeper instead of paying the double-round again (resets
@@ -206,7 +245,13 @@ class Crawler:
         self.spark.createDataFrame(robots_rows, schemas.ROBOTS).coalesce(1).write.mode(
             "overwrite"
         ).parquet(self._p("robots.parquet"))
-        self._write_frontier(seeds_to_frontier(self.spark, seed_list), 0)
+        seeds = seeds_to_frontier(self.spark, seed_list)
+        if self.band_prune:
+            # the seed list is generation 0 of the frontier log
+            units = self._write_generation(seeds, 0)
+            self._flog = {"next_gen": 1, "live": units}
+        else:
+            self._write_frontier(seeds, 0)
 
     # ---- band-pruned frontier layout -----------------------------------
     #: url_hash sub-buckets per priority band (hash-tie-break pruning)
@@ -234,29 +279,11 @@ class Crawler:
         return (base * self.BAND_HASH_BUCKETS + bucket).cast("int")
 
     def _write_frontier(self, df: DataFrame, r: int) -> None:
-        """Frontier snapshot write.  Band-pruned mode partitions by
-        the band key (hive layout, so reads prune whole directories);
-        ``repartitionByRange(band, url_hash)`` gives each write task a
-        contiguous, row-balanced band range — file count stays
-        O(write width + bands) and a fat band splits by hash range
-        instead of becoming one straggler file."""
-        path = self._p("frontier", f"r{r}.parquet")
-        if self.band_prune:
-            (
-                df.withColumn("_band", self._band_expr())
-                .repartitionByRange(
-                    self._frontier_partitions(),
-                    F.col("_band"),
-                    F.col("url_hash"),
-                )
-                .write.mode("overwrite")
-                .partitionBy("_band")
-                .parquet(path)
-            )
-        else:
-            df.repartition(
-                self._frontier_partitions(), F.col("url_hash")
-            ).write.mode("overwrite").parquet(path)
+        """Plain-mode frontier snapshot write (band_prune mode appends
+        generations to the log instead — ``_write_generation``)."""
+        df.repartition(
+            self._frontier_partitions(), F.col("url_hash")
+        ).write.mode("overwrite").parquet(self._p("frontier", f"r{r}.parquet"))
 
     def _frontier_bands(self, fpath: str) -> list[dict]:
         """(band, path, rows) per band directory, ascending band —
@@ -264,6 +291,8 @@ class Crawler:
         import pyarrow.parquet as pq
 
         out = []
+        if not os.path.isdir(fpath):
+            return out
         for name in os.listdir(fpath):
             if not name.startswith("_band="):
                 continue
@@ -276,35 +305,135 @@ class Crawler:
             out.append({"band": int(name.split("=")[1]), "path": d, "rows": rows})
         return sorted(out, key=lambda x: x["band"])
 
-    def _split_frontier(
-        self, fpath: str, prev_fetched: int
-    ) -> tuple[DataFrame, DataFrame | None, dict | None]:
-        """(frontier_to_process, passthrough_or_None, prune_info).
-        Prunes only when banded dirs exist AND a previous round's fetch
-        count gives a budget estimate; the cut keeps the lowest bands
-        whose cumulative rows reach ``band_margin ×`` that estimate."""
-        bands = self._frontier_bands(fpath) if self.band_prune else []
-        if bands and prev_fetched > 0:
+    # ---- log-structured frontier (band_prune mode) ---------------------
+    def _gen_path(self, g: int) -> str:
+        return self._p("frontier_log", f"g{g}.parquet")
+
+    def _unit_path(self, u: dict) -> str:
+        return os.path.join(self._gen_path(u["gen"]), f"_band={u['band']}")
+
+    def _write_generation(self, df: DataFrame, g: int) -> list[dict]:
+        """Append ``df`` as immutable generation ``g`` (banded hive
+        layout) and return its (gen, band, rows) units from the written
+        footers.  ``repartitionByRange(band, url_hash)`` gives each
+        write task a contiguous, row-balanced band range — file count
+        stays O(write width + bands) and a fat band splits by hash
+        range instead of becoming one straggler file.  The input is
+        persisted across the write because repartitionByRange runs a
+        range-sampling job first: without the cache the whole delta
+        pipeline (anti-joins included) executes twice per round."""
+        from pyspark.storagelevel import StorageLevel
+
+        path = self._gen_path(g)
+        banded = df.withColumn("_band", self._band_expr()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        (
+            banded.repartitionByRange(
+                self._frontier_partitions(), F.col("_band"), F.col("url_hash")
+            )
+            .write.mode("overwrite")
+            .partitionBy("_band")
+            .parquet(path)
+        )
+        banded.unpersist()
+        return [
+            {"gen": g, "band": b["band"], "rows": b["rows"]}
+            for b in self._frontier_bands(path)
+        ]
+
+    def _flog_bootstrap(self, manifest: dict | None, next_round: int) -> dict:
+        """Log state for a (possibly fresh) process: the committed
+        manifest's state when one exists; otherwise generation 0 on
+        disk (init_state ran but no round committed); otherwise a
+        one-time migration of a legacy per-round frontier snapshot
+        into generation 0."""
+        if manifest is not None and "frontier_log" in manifest:
+            st = manifest["frontier_log"]
+            return {
+                "next_gen": st["next_gen"],
+                "live": [dict(u) for u in st["live"]],
+            }
+        if manifest is None and os.path.isdir(self._gen_path(0)):
+            return {
+                "next_gen": 1,
+                "live": [
+                    {"gen": 0, "band": b["band"], "rows": b["rows"]}
+                    for b in self._frontier_bands(self._gen_path(0))
+                ],
+            }
+        legacy = self._p("frontier", f"r{next_round}.parquet")
+        if os.path.isdir(legacy):
+            df = self.spark.read.parquet(legacy)
+            if "_band" in df.columns:
+                df = df.drop("_band")
+            return {"next_gen": 1, "live": self._write_generation(df, 0)}
+        return {"next_gen": 1, "live": []}
+
+    def _split_frontier_log(
+        self, prev_fetched: int
+    ) -> tuple[list[dict], list[dict], dict | None]:
+        """(read_units, unread_units, prune_info).  The cut keeps the
+        lowest bands — across ALL live generations, at a band boundary
+        so the strict-ordering exactness argument holds — whose
+        cumulative rows reach ``band_margin ×`` the previous round's
+        fetch count; no estimate (round 0 / zero-fetch round) reads
+        everything."""
+        units = sorted(self._flog["live"], key=lambda u: (u["band"], u["gen"]))
+        bands = sorted({u["band"] for u in units})
+        if prev_fetched > 0 and len(bands) > 1:
             need = self._band_margin_eff * prev_fetched
-            cum, cut = 0, len(bands)
-            for i, b in enumerate(bands):
-                cum += b["rows"]
+            rows_by_band: dict[int, int] = {}
+            for u in units:
+                rows_by_band[u["band"]] = rows_by_band.get(u["band"], 0) + u["rows"]
+            cum, cut_band = 0, bands[-1]
+            for b in bands:
+                cum += rows_by_band[b]
                 if cum >= need:
-                    cut = i + 1
+                    cut_band = b
                     break
-            if cut < len(bands):
-                read = self.spark.read.parquet(*[b["path"] for b in bands[:cut]])
-                unread = self.spark.read.parquet(
-                    *[b["path"] for b in bands[cut:]]
-                )
+            if cut_band < bands[-1]:
+                read = [u for u in units if u["band"] <= cut_band]
+                unread = [u for u in units if u["band"] > cut_band]
                 info = {
-                    "bands_read": cut,
+                    "bands_read": sum(1 for b in bands if b <= cut_band),
                     "bands_total": len(bands),
-                    "rows_read": sum(b["rows"] for b in bands[:cut]),
-                    "rows_passthrough": sum(b["rows"] for b in bands[cut:]),
+                    "rows_read": sum(u["rows"] for u in read),
+                    "rows_passthrough": sum(u["rows"] for u in unread),
+                    "generations": len({u["gen"] for u in units}),
                 }
                 return read, unread, info
-        return self.spark.read.parquet(fpath).drop("_band"), None, None
+        return units, [], None
+
+    def _compact_frontier(self) -> list[dict]:
+        """Fold every live unit into ONE fresh generation; returns the
+        obsoleted units for post-commit GC.  The new generation id
+        comes from the same monotone counter as round deltas, so a
+        crash mid-compaction leaves only an unreferenced dir that a
+        later write of the same id deterministically overwrites."""
+        live = self._flog["live"]
+        g = self._flog["next_gen"]
+        df = self.spark.read.parquet(*[self._unit_path(u) for u in live])
+        units = self._write_generation(df, g)
+        self._flog = {"next_gen": g + 1, "live": units}
+        return list(live)
+
+    def _gc_frontier(self, consumed_units: list[dict]) -> None:
+        """Delete consumed unit dirs (AFTER the round's manifest commit
+        — an uncommitted round must be redoable from the prior live
+        set) and any generation dir left with no bands."""
+        import shutil
+
+        gens = set()
+        for u in consumed_units:
+            shutil.rmtree(self._unit_path(u), ignore_errors=True)
+            gens.add(u["gen"])
+        for g in gens:
+            d = self._gen_path(g)
+            if os.path.isdir(d) and not any(
+                n.startswith("_band=") for n in os.listdir(d)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     def _prune_fell_short(self, r: int, robots: DataFrame, passthrough) -> bool:
         """True iff some host with unread frontier rows did NOT fill its
@@ -615,18 +744,41 @@ class Crawler:
                 m0 = json.load(f)
             seen_rows = m0["seen_total"]
             prev_fetched = m0.get("fetched", 0)
+            if self.band_prune:
+                self._flog = self._flog_bootstrap(m0, start_round)
             if self.use_bloom:
                 self._bloom_rebuild(start_round - 1, seen_rows)
+        elif self.band_prune and self._flog is None:
+            # fresh process, init_state committed no round yet
+            self._flog = self._flog_bootstrap(None, 0)
 
         for r in range(start_round, max_rounds):
-            fpath = self._p("frontier", f"r{r}.parquet")
-            if not os.path.isdir(fpath):
-                break
-            frontier, passthrough, prune_info = self._split_frontier(
-                fpath, prev_fetched
-            )
-            if not frontier.head(1):
-                break
+            read_units: list[dict] = []
+            unread_units: list[dict] = []
+            if self.band_prune:
+                if not self._flog["live"]:
+                    break
+                read_units, unread_units, prune_info = self._split_frontier_log(
+                    prev_fetched
+                )
+                frontier = self.spark.read.parquet(
+                    *[self._unit_path(u) for u in read_units]
+                )
+                passthrough = (
+                    self.spark.read.parquet(
+                        *[self._unit_path(u) for u in unread_units]
+                    )
+                    if unread_units
+                    else None
+                )
+            else:
+                fpath = self._p("frontier", f"r{r}.parquet")
+                if not os.path.isdir(fpath):
+                    break
+                frontier = self.spark.read.parquet(fpath)
+                passthrough, prune_info = None, None
+                if not frontier.head(1):
+                    break
             t0 = time.monotonic()
             phase_t: dict[str, float] = {}
 
@@ -679,7 +831,11 @@ class Crawler:
                 # this they stay cached for the rest of the app (r4
                 # ADVICE)
                 res.unpersist()
-                frontier = self.spark.read.parquet(fpath).drop("_band")
+                read_units = read_units + unread_units
+                unread_units = []
+                frontier = self.spark.read.parquet(
+                    *[self._unit_path(u) for u in read_units]
+                )
                 res = run_round(
                     self.spark,
                     frontier,
@@ -720,13 +876,15 @@ class Crawler:
                 self.spark.read.parquet(self._p("blocked", f"r{r}.parquet"))
             )
             retries = retry_rows(snap, r, self.max_attempts)
-            next_frontier = res.deferred.unionByName(retries).unionByName(
+            next_delta = res.deferred.unionByName(retries).unionByName(
                 frontier_delta(
                     snap, seen, snap_delta, res.deferred, round_no=r,
                     retries=retries, inlink_weight=self.inlink_weight,
                     seen_rows=seen_rows,
-                    # unread-band rows are still scheduled: without
+                    # unread-unit rows are still scheduled: without
                     # this, a page linking to one would duplicate it
+                    # (the anti-join is what makes "each URL lives in
+                    # at most one live unit" inductive)
                     extra_known=(
                         passthrough.select("url_hash", "url")
                         if passthrough is not None
@@ -734,26 +892,33 @@ class Crawler:
                     ),
                 )
             )
-            if passthrough is not None:
-                # unread bands ride through VERBATIM — no bloom probe,
-                # no anti-join, no robots gate, no rank windows; their
-                # turn comes when the budget estimate reaches their band
-                next_frontier = next_frontier.unionByName(
-                    passthrough.select(
-                        "url", "url_hash", "host", "priority", "depth",
-                        "discovered_round", "attempt",
-                    )
+            if self.band_prune:
+                # append-only: ONLY the round's delta (deferred ∪
+                # retries ∪ new links) is written, as a fresh
+                # generation; unread units stay on disk UNTOUCHED —
+                # zero read/shuffle/write IO, where the previous
+                # design's verbatim passthrough re-wrote the whole
+                # frontier every round (O(frontier), the dominant
+                # per-round term at the 10^7-seed probe)
+                new_units = self._write_generation(
+                    next_delta, self._flog["next_gen"]
                 )
-            # Balanced-files write: without the explicit url_hash
-            # repartition, the union writes each branch's AQE-coalesced
-            # partitions as-is and the (one-partition) deferred branch
-            # lands as a single fat file — the NEXT round's frontier
-            # scan then carries a straggler input split (measured: a
-            # 13-task scan stage with a 10.7 s max task vs 1.0 s
-            # median at local[4], ≈ half that leg's idle core-time).
-            # One extra shuffle of the narrow frontier delta is ~2
-            # core-s; the straggler it removes cost ~19.
-            self._write_frontier(next_frontier, r + 1)
+                self._flog = {
+                    "next_gen": self._flog["next_gen"] + 1,
+                    "live": unread_units + new_units,
+                }
+            else:
+                # Balanced-files write: without the explicit url_hash
+                # repartition, the union writes each branch's
+                # AQE-coalesced partitions as-is and the
+                # (one-partition) deferred branch lands as a single fat
+                # file — the NEXT round's frontier scan then carries a
+                # straggler input split (measured: a 13-task scan stage
+                # with a 10.7 s max task vs 1.0 s median at local[4],
+                # ≈ half that leg's idle core-time).  One extra shuffle
+                # of the narrow frontier delta is ~2 core-s; the
+                # straggler it removes cost ~19.
+                self._write_frontier(next_delta, r + 1)
             _mark("write_next_frontier")
 
             # lineage + metrics straight from the written snapshots'
@@ -801,12 +966,19 @@ class Crawler:
                 )
             else:
                 delta_rows = fetched + blocked_rows
-            next_frontier_rows = sum(
-                x["rows"]
-                for x in _parquet_partition_rows(
-                    self._p("frontier", f"r{r + 1}.parquet")
+            if self.band_prune:
+                # live rows are already known per unit from the
+                # generation writes' footers — no extra walk
+                next_frontier_rows = sum(
+                    u["rows"] for u in self._flog["live"]
                 )
-            )
+            else:
+                next_frontier_rows = sum(
+                    x["rows"]
+                    for x in _parquet_partition_rows(
+                        self._p("frontier", f"r{r + 1}.parquet")
+                    )
+                )
             _mark("counts")
             seen_rows += delta_rows
             # Per-round state maintenance runs INSIDE the measured round
@@ -825,6 +997,19 @@ class Crawler:
                 if r - (base if base is not None else -1) >= self.compact_every:
                     self._compact_seen(r)
                     _mark("compact_seen")
+            compacted_units: list[dict] = []
+            if (
+                self.band_prune
+                and self.frontier_compact_gens
+                and len({u["gen"] for u in self._flog["live"]})
+                >= self.frontier_compact_gens
+            ):
+                # bound generation/file count: fold all live units into
+                # one fresh generation (amortized O(frontier / N) per
+                # round; marked as its own phase so probes can tell the
+                # periodic fold from the O(delta) steady-state write)
+                compacted_units = self._compact_frontier()
+                _mark("frontier_compact")
             elapsed = time.monotonic() - t0
             manifest = {
                 "round": r,
@@ -843,8 +1028,18 @@ class Crawler:
             if self.band_prune:
                 manifest["band_prune"] = prune_info or {"pruned": False}
                 manifest["prune_fallback"] = prune_fallback
+                manifest["frontier_log"] = {
+                    "next_gen": self._flog["next_gen"],
+                    "live": self._flog["live"],
+                }
             _write_manifest(self.workdir, r, manifest)
             manifests.append(manifest)
+            if self.band_prune:
+                # committed: consumed units (and pre-compaction dirs)
+                # are no longer referenced by any manifest — delete.
+                # A crash between commit and GC leaves only garbage
+                # dirs no resume will ever read.
+                self._gc_frontier(read_units + compacted_units)
             prev_fetched = fetched
             if next_frontier_rows == 0:
                 break
