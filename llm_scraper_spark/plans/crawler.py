@@ -82,6 +82,45 @@ from ..operators.frontier import (
 )
 
 
+class _PhaseCpuMeter:
+    """Opt-in (SPARK_GRAFT_PHASE_CPU=1) per-phase CPU accounting for
+    the scaling-efficiency audit: at each phase mark, reads the busy
+    tick counters of THIS PROCESS'S cpuset from /proc/stat (system
+    view — JVM, python workers, and driver all run inside the pinned
+    set) and reports the phase's busy-core fraction.  A phase whose
+    busy fraction is far below 1.0 on an N-core leg is idling cores —
+    driver-serial time, stage-boundary gaps, or stragglers — which is
+    exactly the fixed overhead that dilutes N→4N scaling (the same
+    absolute seconds cost 4x more relative time on the big leg)."""
+
+    def __init__(self) -> None:
+        self.cpus = sorted(os.sched_getaffinity(0))
+        self.hz = os.sysconf("SC_CLK_TCK")
+        self._last = self._read()
+
+    def _read(self) -> tuple[float, float]:
+        busy = 0
+        want = {f"cpu{c}" for c in self.cpus}
+        with open("/proc/stat") as f:
+            for line in f:
+                name = line.split(" ", 1)[0]
+                if name in want:
+                    v = [int(x) for x in line.split()[1:]]
+                    # busy = total - idle - iowait
+                    busy += sum(v) - v[3] - (v[4] if len(v) > 4 else 0)
+        return time.monotonic(), busy
+
+    def mark(self) -> float | None:
+        """Busy-core fraction of the pinned cpuset since last mark."""
+        now = self._read()
+        dt = now[0] - self._last[0]
+        dticks = now[1] - self._last[1]
+        self._last = now
+        if dt <= 0:
+            return None
+        return round(dticks / self.hz / dt / len(self.cpus), 3)
+
+
 def _parquet_partition_rows(path: str) -> list[dict]:
     """Per-partition row counts of a written snapshot, read from the
     parquet footers driver-side (pyarrow) — each write task produced
@@ -226,6 +265,21 @@ class Crawler:
         # only with the crawler instance; a long crawl converges to
         # the margin its regime needs)
         self._band_margin_eff = band_margin
+        # measured-cut state (replaces the blind margin once one round
+        # has been observed): after each round the driver reads the
+        # fetch snapshot's (priority, url_hash) columns — a few MB,
+        # pyarrow, no Spark job — and records the DEEPEST band any
+        # fetch actually came from plus how many live rows sit at or
+        # below it.  The next round's read target is band_safety × that
+        # row count: an estimate derived from the politeness fill the
+        # crawl actually measured, instead of margin × fetch count (which
+        # the fallback adaptation had inflated to 16× on the probe
+        # web).  Fallback quadruples the safety factor the same way.
+        self._band_safety_base = (
+            float(band_margin) / 2 if band_margin > 1 else 1.5
+        )
+        self._band_safety = self._band_safety_base
+        self._band_used_rows: int | None = None
 
     # ---- state io ------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -350,6 +404,13 @@ class Crawler:
         into generation 0."""
         if manifest is not None and "frontier_log" in manifest:
             st = manifest["frontier_log"]
+            # measured-cut state rides the manifest so a resumed
+            # process prunes with the same policy an uninterrupted run
+            # would have used
+            if st.get("band_used_rows") is not None:
+                self._band_used_rows = st["band_used_rows"]
+            if st.get("band_safety") is not None:
+                self._band_safety = st["band_safety"]
             return {
                 "next_gen": st["next_gen"],
                 "live": [dict(u) for u in st["live"]],
@@ -382,7 +443,17 @@ class Crawler:
         units = sorted(self._flog["live"], key=lambda u: (u["band"], u["gen"]))
         bands = sorted({u["band"] for u in units})
         if prev_fetched > 0 and len(bands) > 1:
-            need = self._band_margin_eff * prev_fetched
+            if self._band_used_rows is not None:
+                # measured cut: band_safety × the live rows at or below
+                # the deepest band the previous round actually fetched
+                # from, floored at 2× the fetch count so a degenerate
+                # measurement can never starve the round
+                need = max(
+                    self._band_safety * self._band_used_rows,
+                    2 * prev_fetched,
+                )
+            else:
+                need = self._band_margin_eff * prev_fetched
             rows_by_band: dict[int, int] = {}
             for u in units:
                 rows_by_band[u["band"]] = rows_by_band.get(u["band"], 0) + u["rows"]
@@ -401,9 +472,61 @@ class Crawler:
                     "rows_read": sum(u["rows"] for u in read),
                     "rows_passthrough": sum(u["rows"] for u in unread),
                     "generations": len({u["gen"] for u in units}),
+                    "cut_policy": (
+                        "measured"
+                        if self._band_used_rows is not None
+                        else "margin"
+                    ),
+                    "rows_target": int(need),
                 }
                 return read, unread, info
         return units, [], None
+
+    def _band_used(self, r: int) -> int | None:
+        """Deepest band any fetch of round ``r`` actually came from —
+        driver-side pyarrow read of the snapshot's (priority, url_hash)
+        columns (a few MB; the driver already opens these footers for
+        the manifest counts), band computed with the same formula as
+        ``_band_expr``."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        path = self._p("fetch", f"r{r}.parquet")
+        mx = None
+        for root, _dirs, names in os.walk(path):
+            for name in names:
+                if not name.startswith("part-"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(root, name), columns=["priority", "url_hash"]
+                )
+                pr = t.column("priority").to_numpy(zero_copy_only=False)
+                if not len(pr):
+                    continue
+                band = np.floor(pr).astype(np.int64)
+                if not self.inlink_weight:
+                    uh = t.column("url_hash").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    band = band * self.BAND_HASH_BUCKETS + ((uh >> 58) + 32)
+                m = int(band.max())
+                mx = m if mx is None else max(mx, m)
+        return mx
+
+    def _measure_cut(self, r: int) -> int | None:
+        """Update the measured-cut state from round ``r``'s written
+        snapshot: rows of the (post-round) live set at or below the
+        deepest fetched band.  That prefix is what the round PROVABLY
+        needed (every fetch came from it; unread bands sit strictly
+        above it); the next round reads band_safety × it."""
+        used = self._band_used(r)
+        if used is None:
+            self._band_used_rows = None
+            return None
+        self._band_used_rows = sum(
+            u["rows"] for u in self._flog["live"] if u["band"] <= used
+        )
+        return used
 
     def _compact_frontier(self) -> list[dict]:
         """Fold every live unit into ONE fresh generation; returns the
@@ -781,11 +904,21 @@ class Crawler:
                     break
             t0 = time.monotonic()
             phase_t: dict[str, float] = {}
+            phase_cpu: dict[str, float] = {}
+            meter = (
+                _PhaseCpuMeter()
+                if os.environ.get("SPARK_GRAFT_PHASE_CPU") == "1"
+                else None
+            )
 
             def _mark(name: str, _last=[t0]) -> None:
                 now = time.monotonic()
                 phase_t[name] = round(now - _last[0], 3)
                 _last[0] = now
+                if meter is not None:
+                    frac = meter.mark()
+                    if frac is not None:
+                        phase_cpu[name] = frac
 
             seen = self.seen_df(r - 1)
             res = run_round(
@@ -825,6 +958,7 @@ class Crawler:
                 # toward reading extra bands.
                 prune_fallback = True
                 self._band_margin_eff *= 4
+                self._band_safety *= 4
                 passthrough, prune_info = None, None
                 # release the discarded pruned round's persisted frames
                 # (gated/pre/slotted) BEFORE res is reassigned — without
@@ -966,12 +1100,26 @@ class Crawler:
                 )
             else:
                 delta_rows = fetched + blocked_rows
+            band_used = None
             if self.band_prune:
                 # live rows are already known per unit from the
                 # generation writes' footers — no extra walk
                 next_frontier_rows = sum(
                     u["rows"] for u in self._flog["live"]
                 )
+                # measured-cut update for the next round's read target
+                # (driver-side column read of the snapshot just written)
+                band_used = self._measure_cut(r)
+                if prune_info is not None and not prune_fallback:
+                    # clean pruned round: decay the post-fallback safety
+                    # inflation geometrically back toward base — without
+                    # this the ×4 ratchet is permanent, and the 10M
+                    # probe showed a second fallback at margin 16
+                    # escalating to a terminal read-everything regime
+                    # (margin 64 > frontier, write_fetched 50-73 s/round)
+                    self._band_safety = max(
+                        self._band_safety_base, self._band_safety * 0.9
+                    )
             else:
                 next_frontier_rows = sum(
                     x["rows"]
@@ -1023,6 +1171,8 @@ class Crawler:
                 "phase_sec": phase_t,
                 "partition_lineage": sorted(lineage, key=lambda x: x["partition"]),
             }
+            if phase_cpu:
+                manifest["phase_busy_cores_frac"] = phase_cpu
             if retry_counts:
                 manifest.update(retry_counts)
             if self.band_prune:
@@ -1031,6 +1181,9 @@ class Crawler:
                 manifest["frontier_log"] = {
                     "next_gen": self._flog["next_gen"],
                     "live": self._flog["live"],
+                    "band_used": band_used,
+                    "band_used_rows": self._band_used_rows,
+                    "band_safety": self._band_safety,
                 }
             _write_manifest(self.workdir, r, manifest)
             manifests.append(manifest)
