@@ -209,6 +209,170 @@ def build_bloom(
     return ShardedBloom(shards, [BloomFilter(m_bits, k, a) for a in accs])
 
 
+# ------------------------------------------------ parquet-backed filter
+@dataclass
+class BloomDir:
+    """A sharded Bloom filter that LIVES IN PARQUET, never on the
+    driver — the 10^10-URL regime (~12 GB of bitmap at 10 bits/URL,
+    1% fpp), where collecting per-task partials driver-side (the
+    ``build_bloom`` path) would move tasks × bitmap bytes through one
+    process and the driver-side absorb fold (plans/crawler) would hold
+    the whole bitmap set in driver memory.
+
+    Layout: ``path/`` is a parquet table ``(_bloom_shard int,
+    _bloom_arr array<bigint>)`` — one row per shard after a build or a
+    compaction, PLUS one delta row per shard per absorbed round in
+    between (append mode; the probe ORs a shard's rows executor-side
+    before probing, so absorb is O(delta) IO exactly like the
+    log-structured frontier).  ``path/_bloom_meta.json`` carries
+    (n_shards, m_bits, k).  The driver only ever touches row COUNTS
+    and the meta file: bitmaps stay on executors end to end."""
+
+    path: str
+    n_shards: int
+    m_bits: int
+    k: int
+
+    @classmethod
+    def load(cls, path: str) -> "BloomDir":
+        import json
+        import os
+
+        with open(os.path.join(path, "_bloom_meta.json")) as f:
+            meta = json.load(f)
+        return cls(path, meta["n_shards"], meta["m_bits"], meta["k"])
+
+
+def _shard_fold_kernel(m_bits: int, k: int, shards: int):
+    """mapInPandas kernel: a (shard-routed) stream of url_hash batches
+    → one (shard, bitmap words) row per shard this task owns."""
+
+    def fold(batches):
+        bfs: dict[int, BloomFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = pdf["url_hash"].to_numpy(dtype=np.uint64)
+            sid = _shard_ids(hs, shards)
+            for s in np.unique(sid):
+                bf = bfs.get(int(s))
+                if bf is None:
+                    bf = BloomFilter(
+                        m_bits, k, np.zeros(m_bits // 64, dtype=np.uint64)
+                    )
+                    bfs[int(s)] = bf
+                bf.add(hs[sid == s])
+        if bfs:
+            yield pd.DataFrame(
+                {
+                    "_bloom_shard": sorted(bfs),
+                    "_bloom_arr": [
+                        bfs[s].words.view(np.int64) for s in sorted(bfs)
+                    ],
+                }
+            )
+
+    return fold
+
+
+def build_bloom_dir(
+    seen: DataFrame,
+    capacity: int,
+    path: str,
+    *,
+    fpp: float = 0.01,
+    shards: int = 256,
+    append_to: "BloomDir | None" = None,
+    fold_partitions: int | None = None,
+) -> BloomDir:
+    """Executor-side sharded build: hashes are repartitioned BY SHARD
+    (so each shard's bitmap is folded whole by exactly one task) and
+    each task WRITES its (shard, bitmap) rows straight to parquet —
+    the driver ships paths, never bytes.  ``append_to`` absorbs a
+    delta frame into an existing dir as extra per-shard rows (O(delta)
+    compute + O(touched shards) write; see ``compact_bloom_dir``)."""
+    import json
+    import os
+
+    if append_to is not None:
+        m_bits, k, shards = append_to.m_bits, append_to.k, append_to.n_shards
+        path = append_to.path
+    else:
+        proto = BloomFilter.empty(-(-capacity // shards), fpp)
+        m_bits, k = proto.m_bits, proto.k
+    width = fold_partitions or min(shards, 64)
+    folded = (
+        seen.select("url_hash")
+        .repartition(width, F.pmod(F.col("url_hash"), F.lit(shards)))
+        .mapInPandas(
+            _shard_fold_kernel(m_bits, k, shards),
+            "_bloom_shard int, _bloom_arr array<bigint>",
+        )
+    )
+    folded.write.mode("append" if append_to is not None else "overwrite").parquet(
+        path
+    )
+    if append_to is not None:
+        return append_to
+    with open(os.path.join(path, "_bloom_meta.json"), "w") as f:
+        json.dump({"n_shards": shards, "m_bits": m_bits, "k": k}, f)
+    return BloomDir(path, shards, m_bits, k)
+
+
+def _shard_or_kernel(m_bits: int):
+    """applyInPandas kernel: OR a shard's bitmap rows into one."""
+
+    def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 64, dtype=np.int64)
+        for arr in pdf["_bloom_arr"]:
+            np.bitwise_or(acc, np.asarray(arr, dtype=np.int64), out=acc)
+        return pd.DataFrame(
+            {"_bloom_shard": pdf["_bloom_shard"].iloc[:1], "_bloom_arr": [acc]}
+        )
+
+    return orfold
+
+
+def bloom_dir_df(spark: SparkSession, bloom: BloomDir) -> DataFrame:
+    """One (shard, bitmap) row per shard, delta rows OR-folded
+    executor-side — the probe-ready view of the dir."""
+    rows = spark.read.schema(
+        "_bloom_shard int, _bloom_arr array<bigint>"
+    ).parquet(bloom.path)
+    return rows.groupBy("_bloom_shard").applyInPandas(
+        _shard_or_kernel(bloom.m_bits),
+        "_bloom_shard int, _bloom_arr array<bigint>",
+    )
+
+
+def compact_bloom_dir(spark: SparkSession, bloom: BloomDir) -> None:
+    """Fold every shard's (base + delta) rows back to one row per
+    shard — the periodic compaction that keeps probe-time OR work
+    bounded (same discipline as the seen-set and frontier logs).
+    Atomic via write-to-tmp + rename."""
+    import os
+    import shutil
+
+    tmp = bloom.path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    bloom_dir_df(spark, bloom).write.mode("overwrite").parquet(tmp)
+    shutil.copy(
+        os.path.join(bloom.path, "_bloom_meta.json"),
+        os.path.join(tmp, "_bloom_meta.json"),
+    )
+    old = bloom.path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(bloom.path, old)
+    os.rename(tmp, bloom.path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+#: past this many bitmap bytes the probe join stops broadcasting and
+#: shuffles frontier rows to their shard's bitmap instead (each
+#: executor then holds only its shards — the 10^10 regime)
+BLOOM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
 def bitmap_df(spark: SparkSession, bloom: BloomFilter) -> DataFrame:
     """The bitmap as a ONE-ROW DataFrame ``(_bloom_arr array<bigint>)``.
 
@@ -359,6 +523,32 @@ def with_bloom_flag(
     shard instead — same probe expression, per-shard bitmap."""
     if bloom is None:
         return df.withColumn("_maybe_seen", F.lit(False))
+    if isinstance(bloom, BloomDir):
+        shard_rows = bloom_dir_df(spark, bloom)
+        total_bytes = bloom.n_shards * (bloom.m_bits // 8)
+        if total_bytes <= BLOOM_BROADCAST_MAX_BYTES:
+            shard_rows = F.broadcast(shard_rows)
+        else:
+            # 10^10 regime: the bitmap set is GBs — never broadcast.
+            # Equi-join routes each frontier row to its shard's bitmap;
+            # the hint keeps the bitmap side as the (per-shard, bounded)
+            # build side.
+            shard_rows = shard_rows.hint("shuffle_hash")
+        probed = df.join(
+            shard_rows,
+            F.pmod(F.col(col), F.lit(bloom.n_shards)) == F.col("_bloom_shard"),
+            "left",
+        )
+        return probed.withColumn(
+            "_maybe_seen",
+            # a shard with no rows yet has no bitmap row — its hashes
+            # are definitely-new, not NULL (a NULL here would silently
+            # drop the row from BOTH sides of the downstream split)
+            F.coalesce(
+                bloom_probe_col("_bloom_arr", bloom.m_bits, bloom.k, col),
+                F.lit(False),
+            ),
+        ).drop("_bloom_arr", "_bloom_shard")
     if isinstance(bloom, ShardedBloom):
         shards_df = F.broadcast(sharded_bitmap_df(spark, bloom))
         probed = df.join(
