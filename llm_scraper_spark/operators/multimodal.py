@@ -33,6 +33,18 @@ try:  # real decoder path — absent in this container
 except ImportError:
     HAVE_PIL = False
 
+try:  # real transcription path — whisper model + ffmpeg decode
+    # (media_downloader.py:44-46); absent in this container, dispatched
+    # exactly like the PIL branch above so a cluster that ships both
+    # gets real transcripts with zero code change
+    import shutil as _shutil
+
+    import whisper  # noqa: F401
+
+    HAVE_WHISPER = _shutil.which("ffmpeg") is not None
+except ImportError:
+    HAVE_WHISPER = False
+
 
 def with_payload(docs: DataFrame) -> DataFrame:
     """Attach the synthetic binary payload column (kind='image')."""
@@ -203,6 +215,100 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frame_offset_ms", F.col("frame_idx") * 1000)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------- video transcription
+#: 16-word stand-in vocabulary; word j of a stub transcript is indexed
+#: by payload byte j+1 (= md5 hex pair j+1 of the doc text), so the
+#: oracle twin reproduces it from the hex string
+_TRANSCRIPT_VOCAB = (
+    "sensor device camera privacy data audio video firmware "
+    "cloud local consent vendor model energy motion usage"
+).split()
+_TRANSCRIPT_WORDS = 6
+
+
+def _transcribe_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload → deterministic stand-in
+    transcript (pure function of the payload bytes, reproducible on
+    any cluster — the same contract as `_decode_stub`)."""
+    for pdf in batches:
+        texts = [
+            " ".join(
+                _TRANSCRIPT_VOCAB[bytes(b)[j + 1] % 16]
+                for j in range(_TRANSCRIPT_WORDS)
+            )
+            for b in pdf["payload"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "transcript": texts,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+
+
+def _transcribe_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The genuine path, same mapInPandas contract as the stub: ffmpeg
+    demux + whisper transcription (media_downloader.py:44-46).  The
+    model loads once per python worker (function attribute), payloads
+    spool through a temp file because whisper's API takes a path."""
+    import tempfile
+
+    if getattr(_transcribe_real, "_model", None) is None:
+        _transcribe_real._model = whisper.load_model("base")
+    model = _transcribe_real._model
+    for pdf in batches:
+        texts = []
+        for b in pdf["payload"]:
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                f.write(bytes(b))
+                f.flush()
+                texts.append(str(model.transcribe(f.name)["text"]).strip())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "transcript": texts,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+
+
+_TRANSCRIBE_SCHEMA = "doc_id bigint, transcript string, n_chars bigint"
+
+
+def transcribe_media(
+    with_payload_df: DataFrame, real: bool | None = None
+) -> DataFrame:
+    """Production transcription surface, the video analog of
+    `decode_media`: (doc_id, payload) → transcript, one mapInPandas
+    pass.  ``real=None`` dispatches on capability: whisper+ffmpeg when
+    the cluster ships them, the deterministic stand-in otherwise (the
+    branch taken is recorded in CODEC_COVERAGE.json by the test
+    suite).  ``real=True`` demands the genuine path and fails loudly
+    where it cannot run — never a silent stand-in masquerading as a
+    real transcript."""
+    if real is True and not HAVE_WHISPER:
+        raise RuntimeError(
+            "real transcription requested but whisper/ffmpeg are not "
+            "available on this cluster"
+        )
+    use_real = real if real is not None else HAVE_WHISPER
+    kernel = _transcribe_real if use_real else _transcribe_stub
+    return with_payload_df.mapInPandas(kernel, _TRANSCRIBE_SCHEMA)
+
+
+def mm_transcribe_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → binary payload → stand-in transcripts.
+    ``real=False`` pins the stub kernel: the synthetic md5 payloads
+    are not demuxable videos, so this gate key checks the Spark-side
+    plumbing (schema, batch shape, partitioning) while the whisper
+    branch is exercised by the capability-dispatch tests."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return transcribe_media(
+        with_payload(docs).repartition(8, "doc_id"), real=False
+    ).orderBy("doc_id")
 
 
 def mm_dataurl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +523,23 @@ ORACLE_SQL = {
 }
 
 
+# stub transcript twin: payload byte j+1 is md5-hex pair j+1 of the
+# doc text, and word j indexes the vocabulary by that byte % 16 — i.e.
+# by the LOW NIBBLE, hex char 2j+4
+ORACLE_SQL["mm_transcribe_stub"] = (
+    "WITH t AS (SELECT doc_id, concat_ws(' ', "
+    + ", ".join(
+        "list_value("
+        + ", ".join(f"'{w}'" for w in _TRANSCRIPT_VOCAB)
+        + f")[CAST(concat('0x', substr(md5(text), {2 * j + 4}, 1)) AS INT) + 1]"
+        for j in range(_TRANSCRIPT_WORDS)
+    )
+    + ") AS transcript FROM documents) "
+    "SELECT doc_id, transcript, "
+    "CAST(strlen(transcript) AS BIGINT) AS n_chars FROM t ORDER BY doc_id"
+)
+
+
 ORACLE_SQL["mime_sniff_summary"] = """
     WITH hexed AS (
       SELECT (list_value('89504E47', 'FFD8FF', '474946383961', '52494646', '25504446', '504B0304', '3C21444F43', '00DEAD')[CAST(doc_id % 8 + 1 AS INT)]) || upper(md5(text))
@@ -444,6 +567,7 @@ ORACLE_SQL["mime_sniff_summary"] = """
 QUERIES = {
     "mime_sniff_summary": mime_sniff_summary,
     "mm_decode_stub": mm_decode_stub,
+    "mm_transcribe_stub": mm_transcribe_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_dataurl_decode": mm_dataurl_decode,
     "mm_image_gate_entities": mm_image_gate_entities,

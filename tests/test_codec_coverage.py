@@ -19,7 +19,7 @@ import os
 
 import pytest
 
-from llm_scraper_spark.operators.multimodal import HAVE_PIL
+from llm_scraper_spark.operators.multimodal import HAVE_PIL, HAVE_WHISPER
 
 #: canonical minimal baseline JPEG: 1×1 white pixel (magic FFD8FF).
 _JPEG_1x1 = base64.b64decode(
@@ -30,6 +30,11 @@ _JPEG_1x1 = base64.b64decode(
 )
 
 _SKIP_NO_PIL = "PIL absent in this container — JPEG branch runs only on clusters that ship it"
+
+_SKIP_NO_WHISPER = (
+    "whisper/ffmpeg absent in this container — the real transcription "
+    "branch runs only on clusters that ship them"
+)
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -43,6 +48,14 @@ def record_codec_coverage():
             "run" if not HAVE_PIL else "skipped (PIL present decodes it)"
         ),
         "stdlib_png_bmp_ppm_branch": "run (tests/test_streaming_multimodal.py)",
+        "have_whisper": HAVE_WHISPER,
+        "whisper_transcribe_branch": (
+            "run" if HAVE_WHISPER else f"skipped ({_SKIP_NO_WHISPER})"
+        ),
+        "transcribe_stub_and_loud_failure_branch": (
+            "run" if not HAVE_WHISPER
+            else "skipped (whisper present transcribes for real)"
+        ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "CODEC_COVERAGE.json"), "w") as f:
@@ -91,6 +104,34 @@ def test_jpeg_without_pil_fails_with_typed_error(spark):
 
     with pytest.raises(PythonException, match="unsupported media format"):
         decode_media(_payload_df(spark)).collect()
+
+
+@pytest.mark.skipif(not HAVE_WHISPER, reason=_SKIP_NO_WHISPER)
+def test_video_transcribes_via_whisper_branch(spark):
+    """With whisper+ffmpeg present, real=None dispatches to the real
+    transcriber; a real (tiny) media payload must produce a transcript
+    row with the contract schema."""
+    from llm_scraper_spark.operators.multimodal import transcribe_media
+
+    (row,) = transcribe_media(_payload_df(spark)).collect()
+    assert isinstance(row.transcript, str)
+    assert row.n_chars == len(row.transcript)
+
+
+def test_transcribe_dispatch_without_whisper(spark):
+    """Without whisper: real=True must fail LOUDLY (never a silent
+    stand-in posing as a real transcript); real=None falls back to the
+    deterministic stub, which is a pure function of the payload."""
+    from llm_scraper_spark.operators.multimodal import transcribe_media
+
+    if HAVE_WHISPER:
+        pytest.skip("whisper present: covered by the real-branch test")
+    with pytest.raises(RuntimeError, match="whisper/ffmpeg"):
+        transcribe_media(_payload_df(spark), real=True)
+    rows = transcribe_media(_payload_df(spark)).collect()
+    rows2 = transcribe_media(_payload_df(spark)).collect()
+    assert rows == rows2
+    assert rows[0].transcript and rows[0].n_chars == len(rows[0].transcript)
 
 
 def test_pixels_from_payload_raises_cleanly_without_pil(spark):
