@@ -492,26 +492,23 @@ class Crawler:
         import pyarrow.parquet as pq
 
         path = self._p("fetch", f"r{r}.parquet")
-        mx = None
-        for root, _dirs, names in os.walk(path):
-            for name in names:
-                if not name.startswith("part-"):
-                    continue
-                t = pq.read_table(
-                    os.path.join(root, name), columns=["priority", "url_hash"]
-                )
-                pr = t.column("priority").to_numpy(zero_copy_only=False)
-                if not len(pr):
-                    continue
-                band = np.floor(pr).astype(np.int64)
-                if not self.inlink_weight:
-                    uh = t.column("url_hash").to_numpy(
-                        zero_copy_only=False
-                    ).astype(np.int64)
-                    band = band * self.BAND_HASH_BUCKETS + ((uh >> 58) + 32)
-                m = int(band.max())
-                mx = m if mx is None else max(mx, m)
-        return mx
+        if not os.path.isdir(path) or not any(
+            n.startswith("part-") for n in os.listdir(path)
+        ):
+            return None
+        # one threaded dataset read, not a per-file loop (serial driver
+        # time — see _bloom_fold_local)
+        t = pq.read_table(path, columns=["priority", "url_hash"])
+        pr = t.column("priority").to_numpy(zero_copy_only=False)
+        if not len(pr):
+            return None
+        band = np.floor(pr).astype(np.int64)
+        if not self.inlink_weight:
+            uh = t.column("url_hash").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            band = band * self.BAND_HASH_BUCKETS + ((uh >> 58) + 32)
+        return int(band.max())
 
     def _measure_cut(self, r: int) -> int | None:
         """Update the measured-cut state from round ``r``'s written
@@ -761,17 +758,20 @@ class Crawler:
 
         cols = []
         for path in dirs:
-            if not os.path.isdir(path):
+            if not os.path.isdir(path) or not any(
+                n.startswith("part-") for n in os.listdir(path)
+            ):
                 continue
-            for name in os.listdir(path):
-                if not name.startswith("part-"):
-                    continue
-                col = pq.read_table(
-                    os.path.join(path, name), columns=["url_hash"]
-                ).column("url_hash")
-                hs = col.to_numpy(zero_copy_only=False)
-                if len(hs):
-                    cols.append(hs.astype(np.uint64, copy=False))
+            # ONE dataset read per snapshot dir (pyarrow skips _SUCCESS
+            # and friends, reads part files on its own thread pool) —
+            # the per-file read_table loop this replaces cost ~1.2 s of
+            # pure serial driver time per round at 64-file snapshots,
+            # identical at every cluster size and therefore a direct
+            # scaling-efficiency loss on the big legs
+            col = pq.read_table(path, columns=["url_hash"]).column("url_hash")
+            hs = col.to_numpy(zero_copy_only=False)
+            if len(hs):
+                cols.append(hs.astype(np.uint64, copy=False))
         if not cols:
             return 0
         all_hs = np.concatenate(cols) if len(cols) > 1 else cols[0]
@@ -941,9 +941,35 @@ class Crawler:
             _mark("plan")
             # ONE fetched-superset write runs the whole round pipeline;
             # log/documents/seen views are projections of this snapshot
-            res.fetched.write.mode("overwrite").parquet(
-                self._p("fetch", f"r{r}.parquet")
-            )
+            if passthrough is None:
+                # no shortfall check can redo this round, so the blocked
+                # snapshot is final too — submit both write jobs from
+                # two threads: the tiny blocked job's tasks fill cores
+                # the big write's barrier tail leaves idle, removing
+                # ~0.5-1 s of serial time per round (fixed cost, so it
+                # dilutes the BIG bench legs disproportionately).  Both
+                # jobs share the persisted `gated` frame; concurrent
+                # first-materialization of a cached partition is
+                # BlockManager-locked (one computes, the other waits).
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(2) as pool:
+                    fut_f = pool.submit(
+                        lambda: res.fetched.write.mode("overwrite").parquet(
+                            self._p("fetch", f"r{r}.parquet")
+                        )
+                    )
+                    fut_b = pool.submit(
+                        lambda: res.blocked.write.mode("overwrite").parquet(
+                            self._p("blocked", f"r{r}.parquet")
+                        )
+                    )
+                    fut_f.result()
+                    fut_b.result()
+            else:
+                res.fetched.write.mode("overwrite").parquet(
+                    self._p("fetch", f"r{r}.parquet")
+                )
             _mark("write_fetched")
             prune_fallback = False
             if passthrough is not None and self._prune_fell_short(
@@ -991,9 +1017,12 @@ class Crawler:
                     self._p("fetch", f"r{r}.parquet")
                 )
                 _mark("prune_fallback_refetch")
-            res.blocked.write.mode("overwrite").parquet(
-                self._p("blocked", f"r{r}.parquet")
-            )
+            if passthrough is not None or prune_fallback:
+                # pruned path: blocked depends on the (possibly redone)
+                # round, so it writes after the shortfall resolution
+                res.blocked.write.mode("overwrite").parquet(
+                    self._p("blocked", f"r{r}.parquet")
+                )
             _mark("write_blocked")
             # next frontier derives from the WRITTEN snapshot, not the
             # in-round lineage: the python fetch provably runs once per
