@@ -243,9 +243,20 @@ class BloomDir:
         return cls(path, meta["n_shards"], meta["m_bits"], meta["k"])
 
 
+#: words per stored bitmap row (2 MB).  A shard's bitmap is written as
+#: ceil(words / chunk) CHUNK rows, not one giant array row: Spark's
+#: vectorized parquet reader reserves each row's array contiguously,
+#: and ~19 MB rows (a 4 GB / 256-shard geometry) were measured OOMing
+#: the reader under 32 concurrent scan tasks.  Chunks bound every
+#: reader allocation; `bloom_dir_df` reassembles full arrays per shard
+#: executor-side before the probe join.
+_BLOOM_CHUNK_WORDS = 1 << 18
+
+
 def _shard_fold_kernel(m_bits: int, k: int, shards: int):
     """mapInPandas kernel: a (shard-routed) stream of url_hash batches
-    → one (shard, bitmap words) row per shard this task owns."""
+    → (shard, chunk, bitmap-chunk words) rows for the shards this task
+    owns."""
 
     def fold(batches):
         bfs: dict[int, BloomFilter] = {}
@@ -263,12 +274,18 @@ def _shard_fold_kernel(m_bits: int, k: int, shards: int):
                     bfs[int(s)] = bf
                 bf.add(hs[sid == s])
         if bfs:
+            rows_s, rows_c, rows_a = [], [], []
+            for s in sorted(bfs):
+                words = bfs[s].words.view(np.int64)
+                for c in range(0, len(words), _BLOOM_CHUNK_WORDS):
+                    rows_s.append(s)
+                    rows_c.append(c // _BLOOM_CHUNK_WORDS)
+                    rows_a.append(words[c : c + _BLOOM_CHUNK_WORDS])
             yield pd.DataFrame(
                 {
-                    "_bloom_shard": sorted(bfs),
-                    "_bloom_arr": [
-                        bfs[s].words.view(np.int64) for s in sorted(bfs)
-                    ],
+                    "_bloom_shard": rows_s,
+                    "_bloom_chunk": rows_c,
+                    "_bloom_arr": rows_a,
                 }
             )
 
@@ -306,11 +323,18 @@ def build_bloom_dir(
         .repartition(width, F.pmod(F.col("url_hash"), F.lit(shards)))
         .mapInPandas(
             _shard_fold_kernel(m_bits, k, shards),
-            "_bloom_shard int, _bloom_arr array<bigint>",
+            "_bloom_shard int, _bloom_chunk int, _bloom_arr array<bigint>",
         )
     )
-    folded.write.mode("append" if append_to is not None else "overwrite").parquet(
-        path
+    # hive layout by shard: the big-bitmap probe path routes frontier
+    # rows to their shard and loads ONLY that shard's files — no task
+    # ever touches another shard's bitmap (partitionBy here splits
+    # files within each write task; the fold already routed rows, so
+    # there is no extra shuffle)
+    (
+        folded.write.mode("append" if append_to is not None else "overwrite")
+        .partitionBy("_bloom_shard")
+        .parquet(path)
     )
     if append_to is not None:
         return append_to
@@ -319,43 +343,139 @@ def build_bloom_dir(
     return BloomDir(path, shards, m_bits, k)
 
 
-def _shard_or_kernel(m_bits: int):
-    """applyInPandas kernel: OR a shard's bitmap rows into one."""
+def _shard_assemble_kernel(m_bits: int):
+    """applyInPandas kernel: OR a shard's chunk rows (base + absorbed
+    deltas) and concatenate them into the shard's full bitmap row."""
 
-    def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m_bits // 64, dtype=np.int64)
-        for arr in pdf["_bloom_arr"]:
-            np.bitwise_or(acc, np.asarray(arr, dtype=np.int64), out=acc)
+        for chunk, arr in zip(pdf["_bloom_chunk"], pdf["_bloom_arr"]):
+            a = np.asarray(arr, dtype=np.int64)
+            off = int(chunk) * _BLOOM_CHUNK_WORDS
+            np.bitwise_or(acc[off : off + len(a)], a, out=acc[off : off + len(a)])
         return pd.DataFrame(
             {"_bloom_shard": pdf["_bloom_shard"].iloc[:1], "_bloom_arr": [acc]}
+        )
+
+    return assemble
+
+
+def _shard_dirs(path: str) -> list[tuple[int, str]]:
+    import os
+
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("_bloom_shard="):
+            out.append((int(name.split("=")[1]), os.path.join(path, name)))
+    return sorted(out)
+
+
+def _load_shard_words(shard_dir: str, m_bits: int) -> np.ndarray:
+    """Assemble one shard's full bitmap from its chunk files (base +
+    absorbed delta rows OR'd, chunks concatenated by offset) — pure
+    pyarrow+numpy, executor-side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    acc = np.zeros(m_bits // 64, dtype=np.int64)
+    for f in sorted(os.listdir(shard_dir)):
+        if not f.startswith("part-"):
+            continue
+        t = pq.read_table(os.path.join(shard_dir, f))
+        chunks = t.column("_bloom_chunk").to_pylist()
+        arrs = t.column("_bloom_arr").to_pylist()
+        for c, arr in zip(chunks, arrs):
+            a = np.asarray(arr, dtype=np.int64)
+            off = int(c) * _BLOOM_CHUNK_WORDS
+            np.bitwise_or(acc[off : off + len(a)], a, out=acc[off : off + len(a)])
+    return acc
+
+
+def _chunk_rows_df(spark: SparkSession, bloom: BloomDir) -> DataFrame:
+    """Chunk rows read by PYARROW inside mapInPandas (one task per
+    shard dir), not by Spark's vectorized parquet reader: that reader
+    buffers a row group's worth of array values contiguously per
+    batch, and at multi-GB bitmap geometries 32 concurrent scan tasks
+    × tens of MB of reserve each were measured OOMing the heap.
+    Arrow streams the list column without that reserve, and the rows
+    never leave the executors either way."""
+
+    def read_dirs(batches):
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for s, d in zip(pdf["shard"], pdf["dir"]):
+                for f in sorted(os.listdir(d)):
+                    if not f.startswith("part-"):
+                        continue
+                    t = pq.read_table(os.path.join(d, f))
+                    pd_t = t.to_pandas()
+                    pd_t.insert(0, "_bloom_shard", int(s))
+                    # small slices bound the Arrow transfer batches
+                    for off in range(0, len(pd_t), 8):
+                        yield pd_t.iloc[off : off + 8]
+
+    dirs = _shard_dirs(bloom.path)
+    paths = spark.createDataFrame(dirs, "shard int, dir string")
+    return paths.repartition(max(1, len(dirs))).mapInPandas(
+        read_dirs, "_bloom_shard int, _bloom_chunk int, _bloom_arr array<bigint>"
+    )
+
+
+def bloom_dir_df(spark: SparkSession, bloom: BloomDir) -> DataFrame:
+    """One (shard, full bitmap) row per shard, chunk/delta rows
+    OR-assembled executor-side — the probe-ready view of the dir."""
+    return _chunk_rows_df(spark, bloom).groupBy("_bloom_shard").applyInPandas(
+        _shard_assemble_kernel(bloom.m_bits),
+        "_bloom_shard int, _bloom_arr array<bigint>",
+    )
+
+
+def _shard_compact_kernel():
+    """applyInPandas kernel: OR the duplicate rows of one (shard,
+    chunk) group into a single chunk row (sizes within a group are
+    equal by construction)."""
+
+    def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for arr in pdf["_bloom_arr"]:
+            a = np.asarray(arr, dtype=np.int64)
+            acc = a.copy() if acc is None else np.bitwise_or(acc, a, out=acc)
+        return pd.DataFrame(
+            {
+                "_bloom_shard": pdf["_bloom_shard"].iloc[:1],
+                "_bloom_chunk": pdf["_bloom_chunk"].iloc[:1],
+                "_bloom_arr": [acc],
+            }
         )
 
     return orfold
 
 
-def bloom_dir_df(spark: SparkSession, bloom: BloomDir) -> DataFrame:
-    """One (shard, bitmap) row per shard, delta rows OR-folded
-    executor-side — the probe-ready view of the dir."""
-    rows = spark.read.schema(
-        "_bloom_shard int, _bloom_arr array<bigint>"
-    ).parquet(bloom.path)
-    return rows.groupBy("_bloom_shard").applyInPandas(
-        _shard_or_kernel(bloom.m_bits),
-        "_bloom_shard int, _bloom_arr array<bigint>",
-    )
-
-
 def compact_bloom_dir(spark: SparkSession, bloom: BloomDir) -> None:
-    """Fold every shard's (base + delta) rows back to one row per
-    shard — the periodic compaction that keeps probe-time OR work
-    bounded (same discipline as the seen-set and frontier logs).
-    Atomic via write-to-tmp + rename."""
+    """Fold every (shard, chunk)'s base + delta rows back to one row —
+    the periodic compaction that keeps probe-time OR work bounded
+    (same discipline as the seen-set and frontier logs).  Atomic via
+    write-to-tmp + rename."""
     import os
     import shutil
 
     tmp = bloom.path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    bloom_dir_df(spark, bloom).write.mode("overwrite").parquet(tmp)
+    (
+        _chunk_rows_df(spark, bloom)
+        .groupBy("_bloom_shard", "_bloom_chunk")
+        .applyInPandas(
+            _shard_compact_kernel(),
+            "_bloom_shard int, _bloom_chunk int, _bloom_arr array<bigint>",
+        )
+        .write.mode("overwrite")
+        .partitionBy("_bloom_shard")
+        .parquet(tmp)
+    )
     shutil.copy(
         os.path.join(bloom.path, "_bloom_meta.json"),
         os.path.join(tmp, "_bloom_meta.json"),
@@ -482,6 +602,52 @@ def _ship_table(spark: SparkSession, table, schema: str, owner) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _bloom_dir_probe_map(df: DataFrame, bloom: BloomDir, col: str) -> DataFrame:
+    """Map-side BloomDir probe for bitmap sets too big to broadcast:
+    repartition rows by shard, load each owned shard's bitmap once per
+    task (pyarrow), probe with the vectorized numpy path, and append
+    ``_maybe_seen``.  Missing shard dir = definitely-new (False)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    n_shards, m_bits, k, path = bloom.n_shards, bloom.m_bits, bloom.k, bloom.path
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+
+    def probe(batches):
+        cache: dict[int, BloomFilter | None] = {}
+        for pdf in batches:
+            hs = pdf[col].to_numpy(dtype=np.uint64)
+            flags = np.zeros(len(hs), dtype=bool)
+            sid = _shard_ids(hs, n_shards)
+            for s in np.unique(sid):
+                s = int(s)
+                if s not in cache:
+                    d = os.path.join(path, f"_bloom_shard={s}")
+                    cache[s] = (
+                        BloomFilter(m_bits, k, _load_shard_words(d, m_bits).view(np.uint64))
+                        if os.path.isdir(d)
+                        else None
+                    )
+                bf = cache[s]
+                if bf is not None:
+                    m = sid == s
+                    flags[m] = bf.maybe_contains(hs[m])
+            out = pdf.copy()
+            out["_maybe_seen"] = flags
+            yield out
+
+    width = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return df.repartition(width, F.pmod(F.col(col), F.lit(n_shards))).mapInPandas(
+        probe, out_schema
+    )
+
+
 def bloom_probe_col(arr_sql: str, m_bits: int, k: int, hash_sql: str) -> "F.Column":
     """JVM-side Bloom probe over an ``array<bigint>`` bitmap column:
     k shift/xor/mask probes + element_at/getbit — whole-stage-
@@ -524,31 +690,34 @@ def with_bloom_flag(
     if bloom is None:
         return df.withColumn("_maybe_seen", F.lit(False))
     if isinstance(bloom, BloomDir):
-        shard_rows = bloom_dir_df(spark, bloom)
         total_bytes = bloom.n_shards * (bloom.m_bits // 8)
         if total_bytes <= BLOOM_BROADCAST_MAX_BYTES:
-            shard_rows = F.broadcast(shard_rows)
-        else:
-            # 10^10 regime: the bitmap set is GBs — never broadcast.
-            # Equi-join routes each frontier row to its shard's bitmap;
-            # the hint keeps the bitmap side as the (per-shard, bounded)
-            # build side.
-            shard_rows = shard_rows.hint("shuffle_hash")
-        probed = df.join(
-            shard_rows,
-            F.pmod(F.col(col), F.lit(bloom.n_shards)) == F.col("_bloom_shard"),
-            "left",
-        )
-        return probed.withColumn(
-            "_maybe_seen",
-            # a shard with no rows yet has no bitmap row — its hashes
-            # are definitely-new, not NULL (a NULL here would silently
-            # drop the row from BOTH sides of the downstream split)
-            F.coalesce(
-                bloom_probe_col("_bloom_arr", bloom.m_bits, bloom.k, col),
-                F.lit(False),
-            ),
-        ).drop("_bloom_arr", "_bloom_shard")
+            probed = df.join(
+                F.broadcast(bloom_dir_df(spark, bloom)),
+                F.pmod(F.col(col), F.lit(bloom.n_shards))
+                == F.col("_bloom_shard"),
+                "left",
+            )
+            return probed.withColumn(
+                "_maybe_seen",
+                # a shard with no rows yet has no bitmap row — its
+                # hashes are definitely-new, not NULL (a NULL would
+                # silently drop the row from BOTH sides of the
+                # downstream candidate split)
+                F.coalesce(
+                    bloom_probe_col("_bloom_arr", bloom.m_bits, bloom.k, col),
+                    F.lit(False),
+                ),
+            ).drop("_bloom_arr", "_bloom_shard")
+        # 10^10 regime: the bitmap set is GBs — neither broadcastable
+        # nor a viable (non-spillable) hash-join build side.  Instead
+        # frontier rows are routed BY SHARD and a numpy kernel probes
+        # them against just the shards its partition owns, loaded
+        # straight from the shard's parquet dir (per-task bitmap
+        # memory = total / width, bounded by construction; the numpy
+        # probe is equality-tested against the JVM expression in
+        # tests/test_bloom_jvm.py).
+        return _bloom_dir_probe_map(df, bloom, col)
     if isinstance(bloom, ShardedBloom):
         shards_df = F.broadcast(sharded_bitmap_df(spark, bloom))
         probed = df.join(

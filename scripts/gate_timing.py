@@ -21,8 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: per-key latency budget at sf0.1 (seconds) — the driver's bench shape
-GATE_BUDGET_S = 20.0
+#: per-key latency budget at sf0.1 (seconds) — the driver's bench
+#: shape.  Tightened 20 → 15 in round 5 (r4 verdict task 7): with the
+#: composed attest_* keys in the registry the slowest key measures
+#: 11.65 s, so the bound now asserts real headroom instead of just the
+#: original cap.
+GATE_BUDGET_S = 15.0
 
 
 def main() -> int:

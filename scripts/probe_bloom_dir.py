@@ -62,17 +62,18 @@ def main() -> None:
     }
     try:
         # deterministic 63-bit hash frames, generated distributed
-        def hashes(n: int, salt: int):
-            return spark.range(n).select(
-                (
-                    F.xxhash64(F.col("id") + F.lit(salt))
-                    & F.lit((1 << 63) - 1)
-                ).alias("url_hash")
+        def hashes(n: int, offset: int):
+            # SQL & is the bitwise AND (the python Column & is boolean).
+            # ``offset`` must keep id ranges DISJOINT across calls:
+            # xxhash64 is one fixed function, so overlapping inputs are
+            # the same hashes, not fresh ones.
+            return spark.range(n).selectExpr(
+                f"(xxhash64(id + {offset}L) & {(1 << 63) - 1}L) AS url_hash"
             )
 
         t0 = time.monotonic()
         bd = B.build_bloom_dir(
-            hashes(args.rows, 1),
+            hashes(args.rows, 0),
             capacity=args.capacity,
             path=path,
             shards=args.shards,
@@ -94,14 +95,17 @@ def main() -> None:
 
         t0 = time.monotonic()
         B.build_bloom_dir(
-            hashes(args.delta_rows, 2), capacity=0, path=path, append_to=bd
+            hashes(args.delta_rows, 10**12),
+            capacity=0,
+            path=path,
+            append_to=bd,
         )
         out["absorb_sec"] = round(time.monotonic() - t0, 2)
 
         # probe: all inserted rows must flag maybe=True; fresh rows
         # measure fpp — run through the REAL candidate-split path
         t0 = time.monotonic()
-        probe = hashes(200_000, 1).unionByName(hashes(200_000, 3))
+        probe = hashes(200_000, 0).unionByName(hashes(200_000, 2 * 10**12))
         flagged = B.with_bloom_flag(spark, probe, bd)
         n_flagged = (
             flagged.agg(
@@ -110,7 +114,7 @@ def main() -> None:
         )
         out["probe_sec"] = round(time.monotonic() - t0, 2)
         inserted_flagged = (
-            B.with_bloom_flag(spark, hashes(200_000, 1), bd)
+            B.with_bloom_flag(spark, hashes(200_000, 0), bd)
             .agg(F.sum(F.col("_maybe_seen").cast("long")).alias("s"))
             .collect()[0]["s"]
         )
